@@ -1,0 +1,130 @@
+"""Device PE-link inference vs the pure-Python oracle: matrices must match
+exactly (integer accumulation is order-independent)."""
+
+import numpy as np
+import pytest
+
+from tests.oracle_pe import oracle_pe_matrices
+from vstrains_tpu.core.fastq import ReadPairBatch, load_read_pairs
+from vstrains_tpu.core.seq import revcomp_str
+from vstrains_tpu.ops.pe_infer import (build_kmer_table, infer_pe_links,
+                                       pe_info_from_result)
+
+
+def _make_batch(fwd_seqs, rve_seqs, split_len):
+    """Build a ReadPairBatch from string reads (mirrors fastq loading)."""
+    from vstrains_tpu.core.fastq import _pack
+    n_reads = short = 0
+    kf, kr = [], []
+    for f, r in zip(fwd_seqs, rve_seqs):
+        if "N" in f or "N" in r:
+            n_reads += 1
+        elif len(f) < split_len or len(r) < split_len:
+            short += 1
+        else:
+            kf.append(f.encode())
+            kr.append(r.encode())
+    fc, fl = _pack(kf)
+    rc, rl = _pack(kr)
+    return ReadPairBatch(fc, fl, rc, rl, n_reads, short, len(kf))
+
+
+def _random_refs(rng, n_nodes, lens):
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    return [bases[rng.randint(0, 4, ln)].tobytes().decode()
+            for ln in lens]
+
+
+def _sample_reads(rng, refs, n_pairs, read_len, k):
+    """Reads sampled from nodes (both strands) + some random junk."""
+    fwd, rve = [], []
+    for _ in range(n_pairs):
+        which = rng.randint(0, len(refs))
+        ref = refs[which]
+        if len(ref) <= read_len:
+            f = ref
+        else:
+            p = rng.randint(0, len(ref) - read_len)
+            f = ref[p: p + read_len]
+        which2 = rng.randint(0, len(refs))
+        ref2 = refs[which2]
+        if len(ref2) <= read_len:
+            r = ref2
+        else:
+            p2 = rng.randint(0, len(ref2) - read_len)
+            r = ref2[p2: p2 + read_len]
+        if rng.rand() < 0.3:
+            f = revcomp_str(f)
+        if rng.rand() < 0.3:
+            r = revcomp_str(r)
+        if rng.rand() < 0.05:
+            f = f[:5] + "N" + f[6:]
+        fwd.append(f)
+        rve.append(r)
+    return fwd, rve
+
+
+@pytest.mark.parametrize("seed,k", [(0, 11), (1, 15), (2, 21)])
+def test_pe_matrices_match_oracle(seed, k):
+    rng = np.random.RandomState(seed)
+    n_nodes = 6
+    lens = rng.randint(k + 5, 200, size=n_nodes)
+    refs = _random_refs(rng, n_nodes, lens)
+    # make two nodes share a region (duplicate k-mers across nodes)
+    refs[1] = refs[0][:40] + refs[1][40:] if len(refs[1]) > 40 else refs[1]
+    fwd, rve = _sample_reads(rng, refs, 120, 40, k)
+
+    node_o, short_o, n_o, s_o, u_o = oracle_pe_matrices(refs, fwd, rve, k)
+
+    batch = _make_batch(fwd, rve, k + 1)
+    assert batch.n_reads == n_o and batch.short_reads == s_o
+    assert batch.used_reads == u_o
+
+    ids = [str(i) for i in range(n_nodes)]
+    res = infer_pe_links(ids, refs, batch, k, batch_size=32)
+    np.testing.assert_array_equal(res.node_mat, node_o)
+    np.testing.assert_array_equal(res.short_mat, short_o)
+
+
+def test_pe_batch_size_invariance():
+    """Integer accumulation must be identical for any batch split."""
+    rng = np.random.RandomState(7)
+    k = 13
+    refs = _random_refs(rng, 4, [80, 90, 100, 110])
+    fwd, rve = _sample_reads(rng, refs, 60, 30, k)
+    batch = _make_batch(fwd, rve, k + 1)
+    ids = [str(i) for i in range(4)]
+    r1 = infer_pe_links(ids, refs, batch, k, batch_size=7)
+    r2 = infer_pe_links(ids, refs, batch, k, batch_size=64)
+    np.testing.assert_array_equal(r1.node_mat, r2.node_mat)
+    np.testing.assert_array_equal(r1.short_mat, r2.short_mat)
+
+
+def test_pe_info_from_result_symmetry():
+    rng = np.random.RandomState(3)
+    k = 11
+    refs = _random_refs(rng, 3, [60, 70, 80])
+    fwd, rve = _sample_reads(rng, refs, 40, 30, k)
+    batch = _make_batch(fwd, rve, k + 1)
+    ids = ["a", "b", "c"]
+    res = infer_pe_links(ids, refs, batch, k)
+    pe_info, dcpy = pe_info_from_result(ids, res)
+    total = res.node_mat + res.short_mat
+    for i, u in enumerate(ids):
+        for j, v in enumerate(ids):
+            key = (min(u, v), max(u, v))
+            if i == j:
+                assert pe_info[key] == total[i][i]
+            elif i < j:
+                assert pe_info[key] == total[i][j] + total[j][i]
+    assert dcpy == pe_info and dcpy is not pe_info
+
+
+def test_kmer_table_palindrome_double_entry():
+    """A palindromic k-mer inserts both strand entries (reference inserts
+    kmer and rev_kmer separately even when equal)."""
+    # split_len=4; "ACGT" is its own revcomp
+    table = build_kmer_table(["ACGT"], 4)
+    assert table.num_entries == 2
+    assert table.node.tolist() == [0, 0]
+    assert table.offset.tolist() == [0, 0]

@@ -1,0 +1,549 @@
+"""Iterative graph disentanglement: branch splitting driven by contig,
+paired-end-link and coverage evidence.
+
+Parity: /root/reference/utils/VStrains_Decomposition.py
+  - link_split / cov_split        (:7-88)
+  - balance_split                 (:91-530, minus dev-mode minimap2 scoring)
+  - trivial_split                 (:533-688)
+  - global_trivial_split          (:691-819)
+  - edge_cleaning                 (:822-905)
+  - iter_graph_disentanglement    (:908-1042)
+
+Host orchestration by design: each branch decision touches a handful of
+scalars; the graph numeric state (flows, depths) is (re)computed by the
+batched device pass in ops/graph_ops between rounds. Where the reference
+iterates CPython `set(...)` of neighbors (order an interpreter artifact), we
+pin adjacency insertion order.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Dict, List, Tuple
+
+from vstrains_tpu.algos.branches import (get_non_trivial_branches,
+                                         is_non_trivial)
+from vstrains_tpu.algos.compact import simp_path_compactification
+from vstrains_tpu.algos.contig_ops import (contig_dict_remapping,
+                                           contig_dup_removed_s,
+                                           contig_map_node,
+                                           trim_contig_dict)
+from vstrains_tpu.core.gfa import store_reinit_graph
+from vstrains_tpu.core.graph import BLACK, GraphView
+
+_LOG = logging.getLogger(__name__)
+
+
+def link_split(sec_comb: list, kept_link: dict, in_usage: dict,
+               in_capacity: dict, out_usage: dict, out_capacity: dict,
+               logger: logging.Logger) -> None:
+    """Primary phase: accept every positive PE link, strongest first
+    (Decomposition:7-29)."""
+    logger.debug("attempt to split via paired end information")
+    sorted_sec_comb = sorted(sec_comb, key=lambda x: x[2], reverse=True)
+    for uid, wid, pe in sorted_sec_comb:
+        if pe <= 0:
+            break
+        logger.debug("-----SEC LINK %s -> %s PE: %s", uid, wid, pe)
+        logger.debug("Capacity: %s -> %s", in_capacity[uid],
+                     out_capacity[wid])
+        logger.debug("- distinct compatiable case, added")
+        in_usage[uid] += 1
+        out_usage[wid] += 1
+        kept_link[(uid, wid)] = ((in_capacity[uid] + out_capacity[wid]) / 2,
+                                 pe)
+
+
+def cov_split(us: list, ws: list, pe_info: dict, sec_comb: list,
+              kept_link: dict, in_usage: dict, in_capacity: dict,
+              out_usage: dict, out_capacity: dict,
+              logger: logging.Logger) -> None:
+    """Secondary phase: PE links to isolated leaves first, then mutual-best
+    coverage matches guarded by a 2|delta| ambiguity test
+    (Decomposition:31-88)."""
+    logger.debug("attempt to split via coverage information")
+    sorted_sec_comb = sorted(sec_comb, key=lambda x: x[2], reverse=True)
+    for uid, wid, pe in sorted_sec_comb:
+        if pe <= 0:
+            break
+        if in_usage[uid] > 0 or out_usage[wid] > 0:
+            continue
+        logger.debug("-----SEC LINK %s -> %s PE: %s-----", uid, wid, pe)
+        logger.debug("- link [ > 0] supported case, added")
+        in_usage[uid] += 1
+        out_usage[wid] += 1
+        kept_link[(uid, wid)] = ((in_capacity[uid] + out_capacity[wid]) / 2,
+                                 pe)
+
+    logger.debug("obtain best match via coverage similarity")
+    for uid in us:
+        if in_usage[uid] > 0:
+            continue
+        opt_ws = sorted(ws, key=lambda wwid: abs(in_capacity[uid]
+                                                 - out_capacity[wwid]))
+        wid = opt_ws[0]
+        opt_us = sorted(us, key=lambda uuid: abs(in_capacity[uuid]
+                                                 - out_capacity[wid]))
+        if (opt_us[0] == uid and out_usage[wid] == 0
+                and (uid, wid) not in kept_link):
+            delta = 2 * abs(in_capacity[uid] - out_capacity[wid])
+            logger.debug("Found coverage best match: %s -> %s with cov: "
+                         "%s, %s, delta bound: %s", uid, wid,
+                         in_capacity[uid], out_capacity[wid], delta)
+            if (abs(in_capacity[opt_us[1]] - out_capacity[wid]) <= delta
+                    or abs(in_capacity[uid] - out_capacity[opt_ws[1]])
+                    <= delta):
+                logger.debug("ambiguous matching, skip")
+            else:
+                logger.debug("added")
+                in_usage[uid] += 1
+                out_usage[wid] += 1
+                kept_link[(uid, wid)] = (
+                    (in_capacity[uid] + out_capacity[wid]) / 2,
+                    pe_info[(min(uid, wid), max(uid, wid))])
+
+
+def balance_split(view: GraphView, contig_dict: dict, pe_info: dict,
+                  threshold: float, is_prim: bool,
+                  logger: logging.Logger = None) -> int:
+    """Resolve N-N non-trivial branches into per-link child nodes `no*i`
+    (Decomposition:91-530). Returns the number of branches split."""
+    logger = logger or _LOG
+    logger.info("balance split using contigs&paired end links&coverage "
+                "information.. isPrim: %s", is_prim)
+
+    non_trivial_branches = get_non_trivial_branches(view)
+    split_branches: List[str] = []
+    node_to_contig_dict, _ = contig_map_node(contig_dict)
+    for no, node in non_trivial_branches.items():
+        us = [e.source.vid for e in node.in_edges() if e.color == BLACK]
+        ws = [e.target.vid for e in node.out_edges() if e.color == BLACK]
+        logger.debug("---------------------------------------------")
+        logger.debug("current non trivial branch: %s, in-degree: %s, "
+                     "out-degree: %s", no, len(us), len(ws))
+
+        # authenticate if split-able
+        if (any(pe_info[(uid, uid)] is None for uid in us)
+                or any(pe_info[(wid, wid)] is None for wid in ws)):
+            logger.debug("branch %s is related to current iteration, "
+                         "split later", no)
+            continue
+        if not is_non_trivial(node):
+            logger.debug("branch %s is not non-trivial, potential bug", no)
+            continue
+        if len(us) != len(ws):
+            logger.debug("Not N-N split, skip")
+            continue
+
+        split_via_link = True
+        # no link-split if any leaf is purely made of split nodes
+        for id_ in us + ws:
+            singles = id_.split("&")
+            if all(single.count("*") > 0 for single in singles):
+                logger.debug("leaf:%s is total branch nodes, no link "
+                             "information, skip link split", id_)
+                split_via_link = False
+                break
+        # no link-split if no combination has link information
+        if all(pe_info[(min(uid, wid), max(uid, wid))] == 0
+               for uid in us for wid in ws):
+            logger.debug("branch node too long, no link information, "
+                         "skip link split")
+            split_via_link = False
+
+        # contig-spanning support
+        support_contigs = node_to_contig_dict.get(no, [])
+        con_info: Dict[Tuple[str, str], list] = {}
+        for cno in support_contigs:
+            [contig, clen, ccov] = contig_dict[cno]
+            loc = contig.index(no)
+            if 0 < loc < len(contig) - 1:
+                con_info.setdefault((contig[loc - 1], contig[loc + 1]),
+                                    []).append((cno, clen, ccov))
+            logger.debug("support contig %s len %s cov %s: %s", cno, clen,
+                         round(ccov, 2), contig[max(loc - 1, 0): loc + 2])
+
+        kept_link: Dict[Tuple[str, str], tuple] = {}
+        sec_comb: List[tuple] = []
+        in_usage = dict.fromkeys(us, 0)
+        in_capacity = {uid: view.edges[(uid, no)].flow for uid in us}
+        out_usage = dict.fromkeys(ws, 0)
+        out_capacity = {wid: view.edges[(no, wid)].flow for wid in ws}
+
+        logger.debug("align contig link first")
+        for uid in us:
+            for wid in ws:
+                logger.debug("---------------------")
+                curr_pe = pe_info[(min(uid, wid), max(uid, wid))]
+                logger.debug("%s -> %s PE: %s", uid, wid, curr_pe)
+                accept = False
+                if (uid, wid) in con_info:
+                    logger.debug("link supported by contig: %s, added",
+                                 con_info[(uid, wid)])
+                    accept = True
+                if uid == wid:
+                    logger.debug("self link: %s, potential cyclic strain, "
+                                 "added", uid)
+                    accept = True
+                if accept:
+                    in_usage[uid] += 1
+                    out_usage[wid] += 1
+                    kept_link[(uid, wid)] = (
+                        (in_capacity[uid] + out_capacity[wid]) / 2, curr_pe)
+                else:
+                    logger.debug("secondary choice, process later")
+                    sec_comb.append((uid, wid, curr_pe))
+
+        if is_prim:
+            if split_via_link:
+                link_split(sec_comb, kept_link, in_usage, in_capacity,
+                           out_usage, out_capacity, logger)
+        else:
+            cov_split(us, ws, pe_info, sec_comb, kept_link, in_usage,
+                      in_capacity, out_usage, out_capacity, logger)
+
+        if not (all(u == 1 for u in in_usage.values())
+                and all(v == 1 for v in out_usage.values())):
+            logger.debug("->Not satisfy N-N split, skip: %s", kept_link)
+            continue
+        worst_pair_diff = max(abs(in_capacity[uid] - out_capacity[wid])
+                              for (uid, wid) in kept_link.keys())
+        if worst_pair_diff > 4 * threshold:
+            logger.debug("worst pair coverage diff > 4 delta: %s > %s, too "
+                         "uneven, skip: %s", worst_pair_diff, 4 * threshold,
+                         kept_link)
+            continue
+        logger.debug("->perform split, all kept links: %s", kept_link)
+
+        split_branches.append(no)
+        link2subs: Dict[Tuple[str, str], str] = {}
+        counter = 0
+        for (uid, wid), (sub_flow, pe) in kept_link.items():
+            logger.debug("--------> %s - %s", uid, wid)
+            sub_id = no + "*" + str(counter)
+            counter += 1
+            sub_node = view.add_vertex(sub_id, sub_flow, node.seq)
+            view.add_edge(view.nodes[uid], sub_node,
+                          view.edges[(uid, no)].overlap, sub_flow)
+            view.add_edge(sub_node, view.nodes[wid],
+                          view.edges[(no, wid)].overlap, sub_flow)
+            link2subs[(uid, wid)] = sub_id
+
+        # remap contigs crossing the branch (Decomposition:443-482)
+        for cno in support_contigs:
+            curr_contig, clen, ccov = contig_dict.pop(cno)
+            branch_ind = curr_contig.index(no)
+            uid = curr_contig[branch_ind - 1] if branch_ind > 0 else None
+            wid = (curr_contig[branch_ind + 1]
+                   if branch_ind < len(curr_contig) - 1 else None)
+            if uid is not None and wid is not None:
+                curr_contig[branch_ind] = link2subs[(uid, wid)]
+                contig_dict[cno] = [curr_contig, clen, ccov]
+            elif uid is None and wid is None:
+                for sub_id in link2subs.values():
+                    contig_dict[cno + "$" + str(sub_id.split("*")[-1])] = [
+                        [sub_id],
+                        len(view.nodes[sub_id].seq),
+                        view.nodes[sub_id].dp]
+            elif uid is not None and wid is None:
+                for (uid2, _), sub_id in link2subs.items():
+                    if uid == uid2:
+                        curr_contig[branch_ind] = sub_id
+                        contig_dict[cno + "$" + str(sub_id.split("*")[-1])
+                                    ] = [list(curr_contig), clen, ccov]
+            else:
+                for (_, wid2), sub_id in link2subs.items():
+                    if wid == wid2:
+                        curr_contig[branch_ind] = sub_id
+                        contig_dict[cno + "$" + str(sub_id.split("*")[-1])
+                                    ] = [list(curr_contig), clen, ccov]
+
+        # drop the old branch and its edges
+        for uid in us:
+            view.remove_edge(uid, no)
+        for wid in ws:
+            view.remove_edge(no, wid)
+        view.remove_vertex(no)
+        node_to_contig_dict, _ = contig_map_node(contig_dict)
+
+        # invalidate PE info for the new ids (Decomposition:493-503)
+        for (uid, wid), sub_id in link2subs.items():
+            for nno in view.nodes.keys():
+                pe_info[(min(sub_id, nno), max(sub_id, nno))] = None
+        for pu, pv in list(pe_info.keys()):
+            if pu == no or pv == no:
+                pe_info.pop((min(pu, pv), max(pu, pv)))
+
+    for k in pe_info.keys():
+        if pe_info[k] is None:
+            pe_info[k] = 0
+    logger.debug("No of branch be removed: %s", len(set(split_branches)))
+    logger.debug("Split branches: %s", set(split_branches))
+    logger.info("done")
+    return len(set(split_branches))
+
+
+def _fork_node(view: GraphView, node, keep_edge, fork_edges, fork_in: bool,
+               pe_info, id_mapping) -> None:
+    """Fork a 1-n (or n-1) node into one copy per many-side edge.
+
+    fork_in=True: n->1 case, fork over in-edges; keep_edge is the single
+    out-edge. fork_in=False: 1->n case, fork over out-edges; keep_edge is
+    the single in-edge.
+    """
+    no = node.vid
+    node.color = "gray"
+    keep_edge.color = "gray"
+    for i, fe in enumerate(fork_edges):
+        sub_id = no + "*" + chr(ord("A") + i)
+        snode = view.add_vertex(sub_id, fe.flow, node.seq)
+        fe.color = "gray"
+        if fork_in:
+            view.edges.pop((fe.source.vid, no), None)
+            view.add_edge(fe.source, snode, fe.overlap, fe.flow)
+            view.add_edge(snode, keep_edge.target, keep_edge.overlap,
+                          fe.flow)
+        else:
+            view.edges.pop((no, fe.target.vid), None)
+            view.add_edge(snode, fe.target, fe.overlap, fe.flow)
+            view.add_edge(keep_edge.source, snode, keep_edge.overlap,
+                          fe.flow)
+        id_mapping[no].add(sub_id)
+        if pe_info is not None:
+            for nno in view.nodes.keys():
+                pe_info[(min(sub_id, nno), max(sub_id, nno))] = None
+    if fork_in:
+        view.edges.pop((no, keep_edge.target.vid), None)
+    else:
+        view.edges.pop((keep_edge.source.vid, no), None)
+    if pe_info is not None:
+        for pu, pv in list(pe_info.keys()):
+            if pu == no or pv == no:
+                pe_info.pop((min(pu, pv), max(pu, pv)))
+
+
+def trivial_split(view: GraphView, pe_info: dict,
+                  logger: logging.Logger = None
+                  ) -> Tuple[int, Dict[str, set]]:
+    """Fork (n->1)/(1->n) neighbors of non-trivial branches
+    (Decomposition:533-688). Returns (count, id_mapping old->new)."""
+    logger = logger or _LOG
+    logger.info("graph trivial split on NT related vertices..")
+    non_trivial_branches = get_non_trivial_branches(view)
+    trivial_split_count = 0
+    id_mapping: Dict[str, set] = {id_: set() for id_ in view.nodes.keys()}
+
+    for ntno, ntnode in non_trivial_branches.items():
+        if ntnode.color != BLACK:
+            continue
+        logger.debug("Current involving NT branch: %s", ntno)
+        for inode in list(dict.fromkeys(ntnode.in_neighbors())):
+            if inode.color != BLACK:
+                continue
+            ino = inode.vid
+            id_mapping.setdefault(ino, set())
+            ines = [ue for ue in inode.in_e if ue.color == BLACK]
+            outes = [ve for ve in inode.out_e if ve.color == BLACK]
+            if len(ines) > 1 and len(outes) == 1:
+                logger.debug("%s, n->1 split right", ino)
+                _fork_node(view, inode, view.graph.edge(inode, ntnode),
+                           ines, True, pe_info, id_mapping)
+                view.nodes.pop(ino, None)
+                trivial_split_count += 1
+
+        for onode in list(dict.fromkeys(ntnode.out_neighbors())):
+            if onode.color != BLACK:
+                continue
+            ono = onode.vid
+            id_mapping.setdefault(ono, set())
+            ines = [ue for ue in onode.in_e if ue.color == BLACK]
+            outes = [ve for ve in onode.out_e if ve.color == BLACK]
+            if len(ines) == 1 and len(outes) > 1:
+                logger.debug("%s, 1->n split left", ono)
+                _fork_node(view, onode, view.graph.edge(ntnode, onode),
+                           outes, False, pe_info, id_mapping)
+                view.nodes.pop(ono, None)
+                trivial_split_count += 1
+
+    for k in pe_info.keys():
+        if pe_info[k] is None:
+            pe_info[k] = 0
+    logger.debug("Total split-ted trivial branch count: %s",
+                 trivial_split_count)
+    return trivial_split_count, id_mapping
+
+
+def global_trivial_split(view: GraphView, logger: logging.Logger = None
+                         ) -> Tuple[int, Dict[str, set]]:
+    """Fork every (n->1)/(1->n) node until fixed point
+    (Decomposition:691-819)."""
+    logger = logger or _LOG
+    logger.info("graph trivial split..")
+    BOUND_ITER = len(view.nodes) ** 2
+    has_split = True
+    trivial_split_count = 0
+    id_mapping: Dict[str, set] = {id_: set() for id_ in view.nodes.keys()}
+    while has_split and trivial_split_count < BOUND_ITER:
+        has_split = False
+        for id_ in list(view.nodes.keys()):
+            node = view.nodes.get(id_)
+            if node is None or node.color != BLACK:
+                continue
+            id_mapping.setdefault(id_, set())
+            ines = [ue for ue in node.in_e if ue.color == BLACK]
+            outes = [ve for ve in node.out_e if ve.color == BLACK]
+            if len(ines) == 1 and len(outes) > 1:
+                logger.debug("%s split left", id_)
+                _fork_node(view, node, ines[0], outes, False, None,
+                           id_mapping)
+                view.nodes.pop(id_, None)
+                has_split = True
+                trivial_split_count += 1
+            elif len(ines) > 1 and len(outes) == 1:
+                logger.debug("%s split right", id_)
+                _fork_node(view, node, outes[0], ines, True, None,
+                           id_mapping)
+                view.nodes.pop(id_, None)
+                has_split = True
+                trivial_split_count += 1
+    if trivial_split_count >= BOUND_ITER:
+        logger.warning("Strange topology detected, exit trivial split "
+                       "immediately")
+        return None, id_mapping
+    logger.debug("No of trivial branch be removed: %s", trivial_split_count)
+    logger.info("done")
+    return trivial_split_count, id_mapping
+
+
+def edge_cleaning(view: GraphView, contig_dict: dict, pe_info: dict,
+                  logger: logging.Logger = None) -> dict:
+    """Keep confident edges only: fixed-point unique-in/out assignment, then
+    contig-forced assignment, then drop unsupported crossing edges
+    (Decomposition:822-905)."""
+    logger = logger or _LOG
+    un_assigned_edge = view.graph.num_edges()
+    assigned = dict.fromkeys(
+        [(e.source.vid, e.target.vid) for e in view.graph.edges()], False)
+    _, edge_to_contig_dict = contig_map_node(contig_dict)
+    logger.debug("Total edges: %s", un_assigned_edge)
+    converage_flag = 0
+    while True:
+        for node in view.graph.vertices():
+            in_d = node.in_degree()
+            in_e = []
+            for e in node.in_e:
+                if assigned[(e.source.vid, e.target.vid)]:
+                    in_d -= 1
+                else:
+                    in_e.append(e)
+            out_d = node.out_degree()
+            out_e = []
+            for e in node.out_e:
+                if assigned[(e.source.vid, e.target.vid)]:
+                    out_d -= 1
+                else:
+                    out_e.append(e)
+            if in_d == 1:
+                assigned[(in_e[0].source.vid, in_e[0].target.vid)] = True
+                un_assigned_edge -= 1
+            if out_d == 1:
+                assigned[(out_e[0].source.vid, out_e[0].target.vid)] = True
+                un_assigned_edge -= 1
+        if converage_flag == un_assigned_edge:
+            break
+        converage_flag = un_assigned_edge
+
+    logger.debug("un-assigned edges after node-weight coverage iteration: "
+                 "%s", un_assigned_edge)
+    for u, v in assigned.keys():
+        if not assigned[(u, v)]:
+            logger.debug("***cross un-assigned edge: %s -> %s, with paired "
+                         "end link %s", u, v,
+                         pe_info[(min(u, v), max(u, v))])
+            if (u, v) in edge_to_contig_dict:
+                logger.debug("support contig: %s, force assign",
+                             edge_to_contig_dict[(u, v)])
+                assigned[(u, v)] = True
+            else:
+                logger.debug("support contig: None")
+    for u, v in assigned.keys():
+        if not assigned[(u, v)]:
+            force_assign = True
+            for w, z in assigned.keys():
+                if (u == w or v == z) and assigned[(w, z)]:
+                    force_assign = False
+                    break
+            if not force_assign:
+                view.graph.remove_edge(view.edges.pop((u, v)))
+                logger.debug("intersect unsupported edge: %s -> %s, "
+                             "removed", u, v)
+            else:
+                logger.debug("disjoint unsupported edge: %s -> %s, kept",
+                             u, v)
+    return assigned
+
+
+def iter_graph_disentanglement(view: GraphView, contig_dict: dict,
+                               pe_info: dict, threshold: float,
+                               temp_dir: str = None,
+                               logger: logging.Logger = None) -> GraphView:
+    """Outer fixed-point driver over primary (link) then secondary
+    (coverage) split phases (Decomposition:908-1042)."""
+    logger = logger or _LOG
+    BOUND_ITER = len(view.nodes) ** 2
+    it = 0
+    total_removed_branch = 0
+    iterCount = "A"
+
+    def ckpt(name):
+        return f"{temp_dir}/gfa/{name}" if temp_dir else None
+
+    for is_prim in [True, False]:
+        do_trivial_split = True
+        while it < BOUND_ITER:
+            num_split = balance_split(view, contig_dict, pe_info, threshold,
+                                      is_prim, logger)
+            view = store_reinit_graph(
+                view, ckpt(f"split_graph_L{iterCount}d.gfa"), logger)
+            simp_path_compactification(view, contig_dict, pe_info, logger)
+            view = store_reinit_graph(
+                view, ckpt(f"split_graph_L{iterCount}dc.gfa"), logger)
+
+            if num_split > 0:
+                do_trivial_split = True
+            else:
+                if do_trivial_split:
+                    prev_ids = list(view.nodes.keys())
+                    _count, id_mapping = trivial_split(view, pe_info,
+                                                       logger)
+                    logger.debug("my id mapping: %s", id_mapping)
+                    view = store_reinit_graph(
+                        view, ckpt(f"split_graph_L{iterCount}dct.gfa"),
+                        logger)
+                    contig_dict_remapping(view, contig_dict, id_mapping,
+                                          prev_ids, logger)
+                    simp_path_compactification(view, contig_dict, pe_info,
+                                               logger)
+                    view = store_reinit_graph(
+                        view, ckpt(f"split_graph_L{iterCount}dctd.gfa"),
+                        logger)
+
+            contig_dup_removed_s(contig_dict, logger)
+            trim_contig_dict(view, contig_dict, logger)
+            total_removed_branch += num_split
+            it += 1
+            iterCount = chr(ord(iterCount) + 1)
+            if num_split == 0:
+                if do_trivial_split:
+                    do_trivial_split = False
+                else:
+                    break
+
+    logger.debug("Total non-trivial branches removed: %s",
+                 total_removed_branch)
+    non_trivial_branches = get_non_trivial_branches(view)
+    logger.debug("non-trivial branches (%s) left after paired-end&"
+                 "single-strand links: %s", len(non_trivial_branches),
+                 list(non_trivial_branches.keys()))
+    view = store_reinit_graph(view, ckpt("split_graph_final.gfa"), logger)
+    return view

@@ -1,0 +1,150 @@
+"""Command-line entry point.
+
+Flag surface parity with the reference executable /root/reference/vstrains
+(argparse flags -a/-g/-p/-o/-fwd/-rve plus hidden -mc/-ml/-r/-d), same
+output-dir scaffolding (gfa/ tmp/ paf/ aln/) and dual console+file logging.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import platform
+import sys
+import time
+from datetime import date
+
+from vstrains_tpu import __version__
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="vstrains-tpu",
+        description="TPU-native construction of full-length viral strains "
+                    "from contigs and assembly graph (SPAdes)")
+    parser.add_argument("-a", "--assembler", dest="assembler", type=str,
+                        required=True, choices=["spades"],
+                        help="name of the assembler used. [spades]")
+    parser.add_argument("-g", "--graph", dest="gfa_file", type=str,
+                        required=True,
+                        help="path to the assembly graph, (.gfa format)")
+    parser.add_argument("-p", "--path", dest="path_file", type=str,
+                        required=False,
+                        help="contig file from SPAdes (.paths format)")
+    parser.add_argument("-mc", "--minimum_coverage", dest="min_cov",
+                        default=None, type=int, help=argparse.SUPPRESS)
+    parser.add_argument("-ml", "--minimum_contig_length", dest="min_len",
+                        default=None, type=int, help=argparse.SUPPRESS)
+    parser.add_argument("-r", "--reference_fa", dest="ref_file",
+                        default=None, type=str, help=argparse.SUPPRESS)
+    parser.add_argument("-o", "--output_dir", dest="output_dir",
+                        default="acc/", type=str,
+                        help="path to the output directory [default: acc/]")
+    parser.add_argument("-d", "--dev_mode", dest="dev", action="store_true",
+                        default=False, help=argparse.SUPPRESS)
+    parser.add_argument("-fwd", "--fwd_file", dest="fwd", required=True,
+                        type=str,
+                        help="paired-end reads, forward strand (.fastq)")
+    parser.add_argument("-rve", "--rve_file", dest="rve", required=True,
+                        type=str,
+                        help="paired-end reads, reverse strand (.fastq)")
+    parser.add_argument("--pe-batch-size", dest="pe_batch_size",
+                        default=4096, type=int, help=argparse.SUPPRESS)
+    return parser
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    if (not args.gfa_file) or (not os.path.exists(args.gfa_file)):
+        print("\nPath to the assembly graph is required, (.gfa format)")
+        print("\nExiting...\n")
+        return 1
+    args.assembler = args.assembler.lower()
+    if args.assembler == "spades":
+        if (not args.path_file) or (not os.path.exists(args.path_file)):
+            print("\nPath to Contig file from SPAdes (.paths format) is "
+                  "required for SPAdes assembler option.")
+            print("\nExiting...\n")
+            return 1
+    else:
+        print("\nPlease provide the correct assembler type (SPAdes).")
+        return 1
+
+    if args.min_len is not None:
+        if args.min_len < 0:
+            print("\ninvalid value for min_len")
+            return 1
+    else:
+        args.min_len = 250
+    if args.min_cov is not None and args.min_cov < 0:
+        print("\ninvalid value for min_cov")
+        return 1
+
+    if args.output_dir.endswith("/"):
+        args.output_dir = args.output_dir[:-1]
+    os.makedirs(args.output_dir, exist_ok=True)
+    try:
+        os.makedirs(args.output_dir + "/gfa/")
+        os.makedirs(args.output_dir + "/tmp/")
+        os.makedirs(args.output_dir + "/paf/")
+        os.makedirs(args.output_dir + "/aln/")
+    except OSError:
+        print("\nCurrent output directory is not empty")
+        print("Please empty/re-create the output directory: "
+              + str(args.output_dir))
+        print("\nExiting...\n")
+        return 1
+
+    logger = logging.getLogger("vstrains-tpu %s" % __version__)
+    logger.setLevel(logging.DEBUG if args.dev else logging.INFO)
+    console = logging.StreamHandler()
+    console.setLevel(logging.INFO)
+    console.setFormatter(logging.Formatter("%(message)s"))
+    logger.addHandler(console)
+    fileh = logging.FileHandler(args.output_dir + "/vstrains.log")
+    fileh.setLevel(logging.DEBUG if args.dev else logging.INFO)
+    fileh.setFormatter(logging.Formatter("%(message)s"))
+    logger.addHandler(fileh)
+
+    logger.info("Welcome to vstrains-tpu!")
+    logger.info("System information:")
+    try:
+        logger.info("  version: " + str(__version__))
+        logger.info("  Python version: "
+                    + ".".join(map(str, sys.version_info[0:3])))
+        logger.info("  OS: " + platform.platform())
+    except Exception:
+        logger.info("  Problem occurred when getting system information")
+    start_time = time.time()
+    logger.info("Input arguments:")
+    logger.info("Assembly type: " + args.assembler)
+    logger.info("Assembly graph file: " + args.gfa_file)
+    logger.info("Forward read file: " + args.fwd)
+    logger.info("Reverse read file: " + args.rve)
+    logger.info("Contig paths file: " + str(args.path_file))
+    logger.info("Output directory: " + os.path.abspath(args.output_dir))
+
+    fmt = logging.Formatter("%(asctime)s - %(levelname)s - %(message)s")
+    console.setFormatter(fmt)
+    fileh.setFormatter(fmt)
+
+    from vstrains_tpu import pipeline
+    pipeline.run(args, logger)
+
+    elapsed = time.time() - start_time
+    console.setFormatter(logging.Formatter("%(message)s"))
+    fileh.setFormatter(logging.Formatter("%(message)s"))
+    logger.info("")
+    logger.info("Result is stored in {0}/strain.fasta".format(
+        os.path.abspath(args.output_dir)))
+    logger.info("Finished: {0}".format(date.today().strftime("%B %d, %Y")))
+    logger.info("Elapsed time: {0}".format(elapsed))
+    logger.removeHandler(fileh)
+    logger.removeHandler(console)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,186 @@
+"""Synthetic viral-quasispecies dataset generator.
+
+Builds a SPAdes-like bubble-chain assembly graph for S strains sharing
+anchor segments and differing in variant segments, plus contigs.paths and
+paired-end FASTQ reads sampled from the true haplotypes. Used by the test
+suite (golden E2E recovery of known haplotypes) and by bench.py to
+synthesize arbitrarily large read workloads.
+
+The reference repo has no test data generator; its evaluation leans on
+external simulated datasets (reference README.md:201-211).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import List, Tuple
+
+import numpy as np
+
+from vstrains_tpu.core.seq import revcomp_str
+
+_BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+
+def _rand_seq(rng: np.random.RandomState, n: int) -> str:
+    return _BASES[rng.randint(0, 4, size=n)].tobytes().decode()
+
+
+@dataclass
+class SynthDataset:
+    gfa_path: str
+    paths_path: str
+    fwd_path: str
+    rve_path: str
+    true_haplotypes: List[str]
+    node_names: List[str]
+    k: int
+
+
+def make_dataset(out_dir: str,
+                 num_strains: int = 2,
+                 num_bubbles: int = 3,
+                 anchor_len: int = 200,
+                 variant_len: int = 120,
+                 k: int = 21,
+                 read_len: int = 60,
+                 insert_len: int = 150,
+                 pairs_per_strain: int = 600,
+                 abundances: Tuple[float, ...] = None,
+                 contig_mode: str = "full",
+                 seed: int = 0) -> SynthDataset:
+    """Create GFA + contigs.paths + paired FASTQ under out_dir.
+
+    Graph layout: anchor_0 -> {variant_0^s} -> anchor_1 -> ... ->
+    anchor_B. Consecutive nodes overlap by exactly k characters (de
+    Bruijn-style), and all variants of a bubble share their first/last k
+    characters so the junctions are well-defined.
+
+    contig_mode: 'full' emits one contig per strain covering its whole
+    path; 'split' emits per-bubble fragments (anchor, variant, anchor) to
+    exercise disentanglement + extension harder.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.RandomState(seed)
+    if abundances is None:
+        abundances = tuple(40.0 + 30.0 * i for i in range(num_strains))
+
+    # ---- build segments ----
+    anchors = []
+    for b in range(num_bubbles + 1):
+        anchors.append(_rand_seq(rng, anchor_len))
+    variants: List[List[str]] = []  # [bubble][strain]
+    for b in range(num_bubbles):
+        head = anchors[b][-k:]
+        tail = anchors[b + 1][:k]
+        vs = []
+        mid_len = variant_len - 2 * k
+        assert mid_len > 4
+        base_mid = _rand_seq(rng, mid_len)
+        for s in range(num_strains):
+            mid = list(base_mid)
+            # distinct point mutations per strain (positions spread out)
+            npos = 3
+            for m in range(npos):
+                pos = (m + 1) * mid_len // (npos + 1) + s
+                pos = min(pos, mid_len - 1)
+                old = mid[pos]
+                mid[pos] = "ACGT"[("ACGT".index(old) + 1 + s) % 4]
+            vs.append(head + "".join(mid) + tail)
+        variants.append(vs)
+
+    # ---- true haplotypes ----
+    true_haps = []
+    for s in range(num_strains):
+        hap = anchors[0]
+        for b in range(num_bubbles):
+            hap += variants[b][s][k:]          # variant minus head overlap
+            hap += anchors[b + 1][k:]          # anchor minus head overlap
+        true_haps.append(hap)
+
+    # ---- GFA ----
+    node_names = []
+    seqs = {}
+    covs = {}
+    tot = float(sum(abundances))
+    for b in range(num_bubbles + 1):
+        name = str(len(node_names) + 1)
+        node_names.append(name)
+        seqs[name] = anchors[b]
+        covs[name] = tot
+    var_names: List[List[str]] = []
+    for b in range(num_bubbles):
+        row = []
+        for s in range(num_strains):
+            name = str(len(node_names) + 1)
+            node_names.append(name)
+            seqs[name] = variants[b][s]
+            covs[name] = float(abundances[s])
+            row.append(name)
+        var_names.append(row)
+
+    anchor_names = node_names[: num_bubbles + 1]
+    gfa_path = os.path.join(out_dir, "assembly_graph_after_simplification.gfa")
+    with open(gfa_path, "w") as g:
+        for name in node_names:
+            g.write(f"S\t{name}\t{seqs[name]}\tDP:f:{covs[name]}\n")
+        for b in range(num_bubbles):
+            for s in range(num_strains):
+                g.write(f"L\t{anchor_names[b]}\t+\t{var_names[b][s]}\t+"
+                        f"\t{k}M\n")
+                g.write(f"L\t{var_names[b][s]}\t+\t{anchor_names[b + 1]}"
+                        f"\t+\t{k}M\n")
+
+    # ---- contigs.paths ----
+    def strain_path_nodes(s: int) -> List[str]:
+        p = [anchor_names[0]]
+        for b in range(num_bubbles):
+            p.append(var_names[b][s])
+            p.append(anchor_names[b + 1])
+        return p
+
+    paths_path = os.path.join(out_dir, "contigs.paths")
+    with open(paths_path, "w") as f:
+        cno = 1
+        records = []
+        if contig_mode == "full":
+            for s in range(num_strains):
+                records.append((strain_path_nodes(s), len(true_haps[s]),
+                                abundances[s]))
+        else:
+            for b in range(num_bubbles):
+                for s in range(num_strains):
+                    nodes = [anchor_names[b], var_names[b][s],
+                             anchor_names[b + 1]]
+                    ln = (len(anchors[b]) + len(variants[b][s])
+                          + len(anchors[b + 1]) - 2 * k)
+                    records.append((nodes, ln, abundances[s]))
+        for nodes, ln, cov in records:
+            f.write(f"NODE_{cno}_length_{ln}_cov_{cov}\n")
+            f.write(",".join(n + "+" for n in nodes) + "\n")
+            f.write(f"NODE_{cno}_length_{ln}_cov_{cov}'\n")
+            f.write(",".join(n + "-" for n in reversed(nodes)) + "\n")
+            cno += 1
+
+    # ---- paired-end reads ----
+    fwd_path = os.path.join(out_dir, "reads_1.fastq")
+    rve_path = os.path.join(out_dir, "reads_2.fastq")
+    qual = "I" * read_len
+    with open(fwd_path, "w") as f1, open(rve_path, "w") as f2:
+        ridx = 0
+        for s in range(num_strains):
+            hap = true_haps[s]
+            npairs = int(pairs_per_strain * abundances[s] / abundances[0])
+            maxp = len(hap) - insert_len
+            positions = rng.randint(0, maxp, size=npairs)
+            for p in positions:
+                fseq = hap[p: p + read_len]
+                rseq = revcomp_str(hap[p + insert_len - read_len:
+                                       p + insert_len])
+                f1.write(f"@read{ridx}/1\n{fseq}\n+\n{qual}\n")
+                f2.write(f"@read{ridx}/2\n{rseq}\n+\n{qual}\n")
+                ridx += 1
+
+    return SynthDataset(gfa_path, paths_path, fwd_path, rve_path,
+                        true_haps, node_names, k)

@@ -1,0 +1,382 @@
+"""Paired-end link inference — the performance-critical engine.
+
+TPU-native re-design of the reference's hash-table PE inference
+(/root/reference/utils/VStrains_PE_Inference.py:16-188, the component its
+README calls out as the v1.1 speedup):
+
+  host:   node (k+1)-mers of both strands -> dual 32-bit window hashes ->
+          one flat sorted table (hash-sorted; duplicates adjacent).
+  device: per read batch (B reads, K windows each):
+            1. rolling window hashes (uint32 x2 lanes, VPU);
+            2. probe: vectorized binary search into the sorted table +
+               bounded duplicate scan;
+            3. per-(read, node) stats via scatter-accumulate: hit count,
+               min ref coord, min read k-index;
+            4. the reference's saturation test, recast in exact integer
+               arithmetic (see below);
+            5. link accumulation as MXU matmuls: the reference's
+               O(|lefts| x |rights|) Python pair loops are exactly
+               node_mat += fwd_sat^T @ rve_sat  and
+               short_mat += triu(fwd_sat^T @ fwd_sat + rve_sat^T @ rve_sat).
+  mesh:   read batches are data-parallel across chips; integer count
+          matrices merge with psum (associative + commutative => results are
+          bit-identical to the serial loop for any sharding).
+
+Saturation-test exactness: the reference computes
+    expected = (min(rlen, reflen) - sl + 1) * (rlen - sl) / rlen
+in float64 and tests v >= max(min(saturate, expected), 1)
+(PE_Inference.py:39-47). Because `expected` is a ratio of integers with
+denominator rlen, `v >= expected` differs between float64 and exact rational
+arithmetic only if 0 < |expected - v| < ulp, impossible since the gap is a
+multiple of 1/rlen; and equality is computed exactly by float64 division.
+Hence the integer test  v*rlen >= A*(rlen-sl)  is bit-equivalent, and runs in
+int32 on device.  Likewise L = max(c, c-ki) = c since ki >= 0.
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass
+from functools import partial
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from vstrains_tpu.core.fastq import ReadPairBatch
+from vstrains_tpu.core.seq import (HASH_MULT_1, HASH_MULT_2, _mult_pows,
+                                   encode_seq, revcomp_codes,
+                                   window_hashes_np)
+
+_LOG = logging.getLogger(__name__)
+
+_INF = np.int32(2**31 - 1)
+_BIAS = np.uint32(0x80000000)
+
+
+# --------------------------------------------------------------------------
+# host: table construction
+# --------------------------------------------------------------------------
+
+@dataclass
+class KmerTable:
+    """Flat hash-sorted (k+1)-mer table over all node sequences, both strands.
+
+    Entry value layout matches the reference's kmer_htable entries (node
+    index, forward-strand offset) — the reverse-complement k-mer of a window
+    maps to the *same* (node, offset) value (PE_Inference.py:123-135).
+    """
+    h1_biased: np.ndarray   # int32 [M], sorted (uint32 order via bias)
+    h2: np.ndarray          # int32 [M] (bitcast uint32; equality compares)
+    node: np.ndarray        # int32 [M]
+    offset: np.ndarray      # int32 [M]
+    max_dup: int            # max run length of equal h1
+    num_nodes: int
+    split_len: int
+    seq_lens: np.ndarray    # int32 [N] node sequence lengths
+
+    @property
+    def num_entries(self) -> int:
+        return int(self.h1_biased.shape[0])
+
+
+def build_kmer_table(seqs: Sequence[str], split_len: int) -> KmerTable:
+    """Build the sorted dual-hash table of all valid (k+1)-mers (both
+    strands) of every node sequence."""
+    h1s: List[np.ndarray] = []
+    h2s: List[np.ndarray] = []
+    nodes: List[np.ndarray] = []
+    offsets: List[np.ndarray] = []
+    seq_lens = np.array([len(s) for s in seqs], dtype=np.int32)
+
+    for i, seq in enumerate(seqs):
+        codes = encode_seq(seq)
+        n = len(seq)
+        if n < split_len:
+            continue
+        # forward-strand windows
+        f1, f2, fv = window_hashes_np(codes, split_len)
+        idx = np.nonzero(fv)[0]
+        h1s.append(f1[idx])
+        h2s.append(f2[idx])
+        nodes.append(np.full(idx.shape, i, dtype=np.int32))
+        offsets.append(idx.astype(np.int32))
+        # reverse-complement windows: rc window j <-> forward offset n-L-j
+        rc = revcomp_codes(codes)
+        r1, r2, rv = window_hashes_np(rc, split_len)
+        jdx = np.nonzero(rv)[0]
+        h1s.append(r1[jdx])
+        h2s.append(r2[jdx])
+        nodes.append(np.full(jdx.shape, i, dtype=np.int32))
+        offsets.append((n - split_len - jdx).astype(np.int32))
+
+    if h1s:
+        h1 = np.concatenate(h1s)
+        h2 = np.concatenate(h2s)
+        node = np.concatenate(nodes)
+        offset = np.concatenate(offsets)
+    else:
+        h1 = np.zeros(0, np.uint32)
+        h2 = np.zeros(0, np.uint32)
+        node = np.zeros(0, np.int32)
+        offset = np.zeros(0, np.int32)
+
+    order = np.lexsort((offset, node, h2, h1))
+    h1 = h1[order]
+    h2 = h2[order]
+    node = node[order]
+    offset = offset[order]
+
+    if h1.size:
+        # max run of equal h1 bounds the device-side duplicate scan
+        boundaries = np.flatnonzero(np.diff(h1)) + 1
+        starts = np.concatenate([[0], boundaries])
+        ends = np.concatenate([boundaries, [h1.size]])
+        max_dup = int((ends - starts).max())
+    else:
+        max_dup = 1
+
+    return KmerTable(
+        h1_biased=(h1 ^ _BIAS).view(np.int32),
+        h2=h2.view(np.int32),
+        node=node,
+        offset=offset,
+        max_dup=max_dup,
+        num_nodes=len(seqs),
+        split_len=split_len,
+        seq_lens=seq_lens,
+    )
+
+
+# --------------------------------------------------------------------------
+# device: window hashes
+# --------------------------------------------------------------------------
+
+def _device_window_hashes(codes: jnp.ndarray, lens: jnp.ndarray,
+                          split_len: int):
+    """codes: uint8 [B, T]; returns (h1, h2) uint32 [B, K] and valid [B, K]
+    where K = T - split_len + 1."""
+    B, T = codes.shape
+    K = T - split_len + 1
+    c = jnp.where(codes < 4, codes, 0).astype(jnp.uint32) + jnp.uint32(1)
+
+    pow1 = jnp.asarray(_mult_pows(HASH_MULT_1, split_len)[::-1].copy())
+    pow2 = jnp.asarray(_mult_pows(HASH_MULT_2, split_len)[::-1].copy())
+
+    def body(i, hs):
+        h1, h2 = hs
+        ci = jax.lax.dynamic_slice(c, (0, i), (B, K))
+        return (h1 + ci * pow1[i], h2 + ci * pow2[i])
+
+    h1, h2 = jax.lax.fori_loop(
+        0, split_len, body,
+        (jnp.zeros((B, K), jnp.uint32), jnp.zeros((B, K), jnp.uint32)))
+
+    win = jax.lax.broadcasted_iota(jnp.int32, (B, K), 1)
+    valid = (win + split_len) <= lens[:, None]
+    return h1, h2, valid
+
+
+# --------------------------------------------------------------------------
+# device: probe + per-read node stats + saturation
+# --------------------------------------------------------------------------
+
+def _probe_and_saturate(codes, lens, tab_h1b, tab_h2, tab_node, tab_off,
+                        seq_lens, split_len: int, max_dup: int,
+                        num_nodes: int):
+    """One read end for a whole batch -> saturated mask [B, N] (float32 0/1).
+
+    Mirrors single_end_read_mapping (PE_Inference.py:16-48) for every read of
+    the batch at once.
+    """
+    B = codes.shape[0]
+    N = num_nodes
+    h1, h2, valid = _device_window_hashes(codes, lens, split_len)
+    K = h1.shape[1]
+
+    q = (h1 ^ jnp.uint32(0x80000000)).astype(jnp.int32)
+    lo = jnp.searchsorted(tab_h1b, q.ravel(), side="left").reshape(B, K)
+    hi = jnp.searchsorted(tab_h1b, q.ravel(), side="right").reshape(B, K)
+
+    bidx = jax.lax.broadcasted_iota(jnp.int32, (B, K), 0)
+    kidx = jax.lax.broadcasted_iota(jnp.int32, (B, K), 1)
+
+    cnt = jnp.zeros((B, N + 1), jnp.int32)
+    cmin = jnp.full((B, N + 1), _INF, jnp.int32)
+    kmin = jnp.full((B, N + 1), _INF, jnp.int32)
+
+    h2q = h2.astype(jnp.int32)
+
+    def body(d, state):
+        cnt, cmin, kmin = state
+        idx = lo + d
+        m = (idx < hi) & valid
+        idxc = jnp.where(m, idx, 0)
+        e_h2 = tab_h2[idxc]
+        e_node = tab_node[idxc]
+        e_off = tab_off[idxc]
+        m = m & (e_h2 == h2q)
+        node_t = jnp.where(m, e_node, N)  # slot N absorbs misses
+        cnt = cnt.at[bidx, node_t].add(1)
+        cmin = cmin.at[bidx, node_t].min(jnp.where(m, e_off, _INF))
+        kmin = kmin.at[bidx, node_t].min(jnp.where(m, kidx, _INF))
+        return cnt, cmin, kmin
+
+    cnt, cmin, kmin = jax.lax.fori_loop(0, max_dup, body, (cnt, cmin, kmin))
+    cnt = cnt[:, :N]
+    cmin = cmin[:, :N]
+    kmin = kmin[:, :N]
+
+    # saturation test, exact-integer form (see module docstring)
+    hit = cnt > 0
+    rl = lens[:, None].astype(jnp.int32)
+    ref = seq_lens[None, :].astype(jnp.int32)
+    cminz = jnp.where(hit, cmin, 0)
+    kminz = jnp.where(hit, kmin, 0)
+    R = jnp.minimum(cminz + ref - 1, cminz - kminz + rl - 1)
+    sat_thresh = R - cminz - split_len + 2
+    A = jnp.minimum(rl, ref) - split_len + 1
+    exp_num = A * (rl - split_len)
+    ok = hit & ((cnt >= sat_thresh) | (cnt * rl >= exp_num))
+    return ok.astype(jnp.float32)
+
+
+def _pe_batch_kernel(fwd_codes, fwd_len, rve_codes, rve_len,
+                     tab_h1b, tab_h2, tab_node, tab_off, seq_lens,
+                     split_len: int, max_dup: int, num_nodes: int):
+    """Full per-batch link accumulation -> (node_mat, short_mat) int32
+    [N, N]. MXU matmuls replace the reference's pair loops
+    (PE_Inference.py:174-188)."""
+    f = _probe_and_saturate(fwd_codes, fwd_len, tab_h1b, tab_h2, tab_node,
+                            tab_off, seq_lens, split_len, max_dup, num_nodes)
+    r = _probe_and_saturate(rve_codes, rve_len, tab_h1b, tab_h2, tab_node,
+                            tab_off, seq_lens, split_len, max_dup, num_nodes)
+    node_mat = jax.lax.dot_general(
+        f, r, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    same = (jax.lax.dot_general(f, f, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(r, r, (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32))
+    N = num_nodes
+    rows = jax.lax.broadcasted_iota(jnp.int32, (N, N), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
+    short_mat = jnp.where(rows <= cols, same, 0.0)
+    return node_mat.astype(jnp.int32), short_mat.astype(jnp.int32)
+
+
+# --------------------------------------------------------------------------
+# driver
+# --------------------------------------------------------------------------
+
+@dataclass
+class PEResult:
+    ids: List[str]
+    node_mat: np.ndarray    # int64 [N, N]  fwd x rve PE links
+    short_mat: np.ndarray   # int64 [N, N]  same-end co-occurrence links
+    n_reads: int
+    short_reads: int
+    used_reads: int
+
+
+def infer_pe_links(ids: Sequence[str], seqs: Sequence[str],
+                   reads: ReadPairBatch, kmer_size: int,
+                   batch_size: int = 4096,
+                   devices: Optional[Sequence] = None,
+                   logger: logging.Logger = None) -> PEResult:
+    """End-to-end PE-link inference for pre-loaded reads.
+
+    `kmer_size` is the graph k; windows are (k+1)-mers
+    (PE_Inference.py:114). When `devices` has more than one entry, read
+    batches are sharded across them data-parallel and the integer count
+    matrices are psum-merged (bit-identical to serial accumulation).
+    """
+    logger = logger or _LOG
+    split_len = kmer_size + 1
+    table = build_kmer_table(seqs, split_len)
+    N = table.num_nodes
+    logger.info("kmer table: %d entries, max_dup=%d, %d nodes",
+                table.num_entries, table.max_dup, N)
+
+    node_mat = np.zeros((N, N), dtype=np.int64)
+    short_mat = np.zeros((N, N), dtype=np.int64)
+    if reads.num_pairs == 0 or table.num_entries == 0:
+        return PEResult(list(ids), node_mat, short_mat, reads.n_reads,
+                        reads.short_reads, reads.used_reads)
+
+    kern = jax.jit(partial(_pe_batch_kernel,
+                           split_len=split_len,
+                           max_dup=table.max_dup,
+                           num_nodes=N))
+
+    tab = (jnp.asarray(table.h1_biased), jnp.asarray(table.h2),
+           jnp.asarray(table.node), jnp.asarray(table.offset),
+           jnp.asarray(table.seq_lens))
+
+    B = reads.num_pairs
+    for start in range(0, B, batch_size):
+        end = min(start + batch_size, B)
+        fc = reads.fwd_codes[start:end]
+        rc = reads.rve_codes[start:end]
+        fl = reads.fwd_len[start:end]
+        rl = reads.rve_len[start:end]
+        if end - start < batch_size:  # pad; zero-length reads contribute 0
+            pad = batch_size - (end - start)
+            fc = np.pad(fc, ((0, pad), (0, 0)), constant_values=255)
+            rc = np.pad(rc, ((0, pad), (0, 0)), constant_values=255)
+            fl = np.pad(fl, (0, pad))
+            rl = np.pad(rl, (0, pad))
+        nm, sm = kern(jnp.asarray(fc), jnp.asarray(fl),
+                      jnp.asarray(rc), jnp.asarray(rl), *tab)
+        node_mat += np.asarray(nm, dtype=np.int64)
+        short_mat += np.asarray(sm, dtype=np.int64)
+
+    return PEResult(list(ids), node_mat, short_mat, reads.n_reads,
+                    reads.short_reads, reads.used_reads)
+
+
+# --------------------------------------------------------------------------
+# file-format parity (aln/pe_info, aln/st_info)
+# --------------------------------------------------------------------------
+
+def write_pe_files(result: PEResult, pe_path: str, st_path: str) -> None:
+    """Write the N^2-line `u:v:count` files
+    (parity: PE_Inference.py:190-207)."""
+    ids = result.ids
+    n = len(ids)
+    with open(pe_path, "w") as f_pe, open(st_path, "w") as f_st:
+        for i in range(n):
+            for j in range(n):
+                f_pe.write(f"{ids[i]}:{ids[j]}:{result.node_mat[i][j]}\n")
+                f_st.write(f"{ids[i]}:{ids[j]}:{result.short_mat[i][j]}\n")
+
+
+def pe_info_from_result(node_ids: Sequence[str], result: PEResult):
+    """Symmetric pe_info dict keyed by lexicographic (min,max) id pairs,
+    summing PE and single-strand counts — same contract as process_pe_info
+    (/root/reference/utils/VStrains_IO.py:598-627) minus the file
+    round-trip. Returns (pe_info, dcpy_pe_info)."""
+    pe_info = {}
+    node_ids = list(node_ids)
+    for u in node_ids:
+        for v in node_ids:
+            pe_info[(min(u, v), max(u, v))] = 0
+    index = {vid: i for i, vid in enumerate(result.ids)}
+    total = result.node_mat + result.short_mat
+    for u in node_ids:
+        iu = index.get(u)
+        if iu is None:
+            continue
+        for v in node_ids:
+            iv = index.get(v)
+            if iv is None:
+                continue
+            key = (min(u, v), max(u, v))
+            if u == v:
+                pe_info[key] += int(total[iu][iu])
+            elif u < v:
+                # both orders of the matrix fold into the same key
+                pe_info[key] += int(total[iu][iv]) + int(total[iv][iu])
+    dcpy = dict(pe_info)
+    return pe_info, dcpy

@@ -1,0 +1,177 @@
+"""End-to-end pipeline orchestrator.
+
+Stage structure parity with /root/reference/utils/VStrains_SPAdes.py:25-280:
+  1. parse graph + canonize + reindex        (gfa/graph_L0.gfa, graph_L0r.gfa)
+  2. coverage threshold + contig parse
+  3. low-coverage simplification             (gfa/s_graph_L1.gfa)
+  4. PE-link inference                       (aln/pe_info, aln/st_info)
+     — in-process on-device engine (ops/pe_infer) instead of the
+       reference's child Python process (SPAdes.py:119-132); the files are
+       still written as stage checkpoints with identical format.
+  5. edge cleaning                           (gfa/es_graph_L2.gfa)
+  6. iterative disentanglement               (gfa/split_graph_*.gfa)
+  7. best matching + NT coverage inflation   (gfa/split_graph_final.gfa)
+  8. contig path extension                   (gfa/graph_S*.gfa)
+  9. finalize: trim/dedup/repeat-resolution  (strain.fasta, strain.paths)
+
+Every stage writes its GFA breadcrumb, so a crashed run can resume from any
+stage file (see utils/checkpoint.py).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Optional
+
+import numpy
+
+from vstrains_tpu.algos.branches import increment_nt_branch_coverage
+from vstrains_tpu.algos.contig_ops import (contig_dup_removed_s,
+                                           contig_resolve,
+                                           strain_repeat_resol,
+                                           trim_contig_dict)
+from vstrains_tpu.algos.decomposition import (edge_cleaning,
+                                              iter_graph_disentanglement)
+from vstrains_tpu.algos.extension import best_matching, path_extension
+from vstrains_tpu.algos.preprocess import graph_simplification, reindexing
+from vstrains_tpu.core.canon import load_gfa_canonized
+from vstrains_tpu.core.contig_io import (contig_dict_to_fasta,
+                                         contig_dict_to_path,
+                                         spades_paths_parser)
+from vstrains_tpu.core.fastq import load_read_pairs
+from vstrains_tpu.core.gfa import (load_flipped_gfa, store_reinit_graph,
+                                   write_gfa)
+from vstrains_tpu.ops.graph_ops import threshold_estimation
+from vstrains_tpu.ops.pe_infer import (infer_pe_links, pe_info_from_result,
+                                       write_pe_files)
+
+_LOG = logging.getLogger(__name__)
+
+
+class PipelineError(Exception):
+    pass
+
+
+def run(args, logger: logging.Logger = None) -> int:
+    """args needs: gfa_file, path_file, fwd, rve, output_dir, min_cov,
+    min_len, dev (mirrors the reference CLI namespace)."""
+    logger = logger or _LOG
+    temp_dir = args.output_dir
+    logger.info("vstrains-tpu pipeline started")
+
+    # ---- stage 1: parse + canonize ----
+    logger.info(">>>STAGE: parsing graph and contigs")
+    t0 = time.time()
+    view = load_gfa_canonized(args.gfa_file, logger)
+    write_gfa(view, f"{temp_dir}/gfa/graph_L0.gfa", logger)
+    view0 = view.compact()
+    view0, idx_mapping = reindexing(view0)
+    write_gfa(view0, f"{temp_dir}/gfa/graph_L0r.gfa", logger)
+
+    # ---- stage 2: threshold + contigs ----
+    if getattr(args, "min_cov", None) is not None:
+        threshold = args.min_cov
+        logger.info("user-defined node minimum coverage: %s", threshold)
+    else:
+        dps = [v.dp for v in view0.graph.vertices()]
+        threshold = threshold_estimation(numpy.array(dps), logger)
+        logger.info("computed node minimum coverage: %s", threshold)
+
+    contig_dict, contig_info = spades_paths_parser(
+        view0, idx_mapping, args.path_file,
+        getattr(args, "min_len", 250) or 250, threshold, logger)
+    copy_contig_dict = {cno: [list(contig), clen, ccov]
+                        for cno, [contig, clen, ccov] in contig_dict.items()}
+    contig_dict_to_path(contig_dict, f"{temp_dir}/tmp/init_contigs.paths")
+    contig_dict_to_fasta(view0, contig_dict,
+                         f"{temp_dir}/tmp/init_contigs.fasta")
+
+    # ---- stage 3: preprocess ----
+    logger.info(">>>STAGE: preprocess")
+    graph_simplification(view0, None, threshold, logger)
+    write_gfa(view0, f"{temp_dir}/gfa/s_graph_L1.gfa", logger)
+    view1 = view0.compact()
+
+    # drop contigs that touch removed nodes
+    for cno, [contig, _, _] in list(contig_dict.items()):
+        if any(c not in view1.nodes for c in contig):
+            contig_dict.pop(cno)
+            logger.debug("unreliable contig with low coverage: %s", cno)
+
+    # graph k-mer size = overlap of the first edge
+    if view1.num_edges() > 0:
+        ksize = next(iter(view1.edges.values())).overlap
+    else:
+        ksize = 0
+    logger.info("graph kmer size: %s", ksize)
+    if ksize <= 0:
+        raise PipelineError("invalid kmer-size, the graph does not contain "
+                            "any edges")
+
+    # ---- stage 4: PE-link inference (on-device) ----
+    logger.info(">>>STAGE: paired-end link inference")
+    t_pe = time.time()
+    ids = list(view1.nodes.keys())
+    seqs = [view1.nodes[i].seq for i in ids]
+    reads = load_read_pairs(args.fwd, args.rve, ksize + 1)
+    logger.info("reads: used=%d, with_N=%d, short=%d", reads.used_reads,
+                reads.n_reads, reads.short_reads)
+    pe_result = infer_pe_links(ids, seqs, reads, ksize,
+                               batch_size=getattr(args, "pe_batch_size",
+                                                  4096),
+                               logger=logger)
+    write_pe_files(pe_result, f"{temp_dir}/aln/pe_info",
+                   f"{temp_dir}/aln/st_info")
+    logger.info("paired end information stored (%.2fs)", time.time() - t_pe)
+    pe_info, dcpy_pe_info = pe_info_from_result(view1.nodes.keys(),
+                                                pe_result)
+
+    # ---- stage 5: edge cleaning ----
+    edge_cleaning(view1, contig_dict, pe_info, logger)
+    view2 = store_reinit_graph(view1, f"{temp_dir}/gfa/es_graph_L2.gfa",
+                               logger)
+    contig_dict_to_path(contig_dict, f"{temp_dir}/tmp/pre_contigs.paths")
+    contig_dict_to_fasta(view2, contig_dict,
+                         f"{temp_dir}/tmp/pre_contigs.fasta")
+
+    # ---- stage 6: disentanglement ----
+    logger.info(">>>STAGE: graph disentanglement")
+    delta = 0.05 * float(numpy.median(
+        [v.dp for v in view2.graph.vertices()]))
+    viewf = iter_graph_disentanglement(view2, contig_dict, pe_info, delta,
+                                       temp_dir, logger)
+    contig_dict_to_path(contig_dict, f"{temp_dir}/tmp/post_contigs.paths")
+    contig_dict_to_fasta(viewf, contig_dict,
+                         f"{temp_dir}/tmp/post_contigs.fasta")
+
+    # ---- stage 7: link refinement + extension ----
+    logger.info(">>>STAGE: contig path extension")
+    full_link = best_matching(viewf, contig_dict, pe_info, logger)
+    increment_nt_branch_coverage(viewf, logger)
+    write_gfa(viewf, f"{temp_dir}/gfa/split_graph_final.gfa", logger)
+
+    p_delta = 0.05 * float(numpy.median(
+        [v.dp for v in viewf.graph.vertices()]))
+    strain_dict, usages, viewf = path_extension(
+        viewf, contig_dict, full_link, dcpy_pe_info, p_delta, temp_dir,
+        logger)
+
+    # ---- stage 8: finalize ----
+    logger.info(">>>STAGE: final process")
+    contig_resolve(strain_dict)
+    viewl = load_flipped_gfa(f"{temp_dir}/gfa/es_graph_L2.gfa", logger)
+    trim_contig_dict(viewl, strain_dict, logger)
+    contig_dup_removed_s(strain_dict, logger)
+    contig_dict_to_path(strain_dict, f"{temp_dir}/tmp/tmp_strain.paths",
+                        None, False)
+    strain_repeat_resol(view0, strain_dict, contig_info, copy_contig_dict,
+                        logger)
+
+    logger.info(">>>STAGE: generate result")
+    contig_dict_to_fasta(view0, strain_dict, f"{temp_dir}/strain.fasta")
+    contig_dict_to_path(strain_dict, f"{temp_dir}/strain.paths",
+                        idx_mapping, True)
+    logger.info("vstrains-tpu finished in %.2fs", time.time() - t0)
+    return 0
