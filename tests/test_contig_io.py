@@ -1,0 +1,53 @@
+"""SPAdes paths parsing against the synthetic dataset generator."""
+
+import logging
+
+from vstrains_tpu.algos.preprocess import reindexing
+from vstrains_tpu.core.canon import load_gfa_canonized
+from vstrains_tpu.core.contig_io import spades_paths_parser
+from vstrains_tpu.evals.synth import make_dataset
+
+_LOG = logging.getLogger("test")
+
+
+def test_paths_parser_on_synth(tmp_path):
+    ds = make_dataset(str(tmp_path), num_strains=2, num_bubbles=2,
+                      pairs_per_strain=10, seed=3)
+    view = load_gfa_canonized(ds.gfa_path, _LOG)
+    view0 = view.compact()
+    view0, idx_mapping = reindexing(view0)
+    contig_dict, contig_info = spades_paths_parser(
+        view0, idx_mapping, ds.paths_path, min_len=250, min_cov=0,
+        logger=_LOG)
+    # one contig per strain, each mapped through idx ids onto live edges
+    assert len(contig_dict) == 2
+    for cno, (contig, clen, ccov) in contig_dict.items():
+        assert len(contig) == 5  # anchor,var,anchor,var,anchor
+        for i in range(len(contig) - 1):
+            assert (contig[i], contig[i + 1]) in view0.edges
+        assert cno in contig_info
+
+
+def test_paths_parser_reverse_record_preferred_when_forward_invalid(
+        tmp_path):
+    """If the forward path references unknown nodes, the reverse-prime
+    record (if valid) wins."""
+    gfa = tmp_path / "g.gfa"
+    gfa.write_text(
+        "S\t1\tAAAACC\tDP:f:50.0\n"
+        "S\t2\tCCGGGG\tDP:f:40.0\n"
+        "L\t1\t+\t2\t+\t2M\n")
+    view = load_gfa_canonized(str(gfa), _LOG)
+    view0 = view.compact()
+    view0, idx_mapping = reindexing(view0)
+    paths = tmp_path / "contigs.paths"
+    paths.write_text(
+        "NODE_1_length_10_cov_44.0\n"
+        "9+,8+\n"
+        "NODE_1_length_10_cov_44.0'\n"
+        "1+,2+\n")
+    contig_dict, _ = spades_paths_parser(view0, idx_mapping, str(paths),
+                                         logger=_LOG)
+    assert len(contig_dict) == 1
+    [(cno, (contig, clen, ccov))] = contig_dict.items()
+    assert contig == [idx_mapping["1"], idx_mapping["2"]]
