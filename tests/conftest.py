@@ -6,11 +6,18 @@ Must run before jax is imported anywhere; multi-chip sharding tests use the
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # tests always run the virtual CPU mesh
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8").strip()
+
+# the container's sitecustomize imports jax at interpreter start (TPU
+# tunnel registration), which freezes the config default from the old env —
+# override it before any backend initialization.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 

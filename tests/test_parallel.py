@@ -1,0 +1,42 @@
+"""Multi-device sharding: DPxTP PE inference and SP window hashing must be
+bit-identical to the single-device path on the 8-device virtual CPU mesh."""
+
+import numpy as np
+import pytest
+
+from tests.test_pe_infer import (_make_batch, _random_refs, _sample_reads)
+from vstrains_tpu.core.seq import encode_seq, window_hashes_np
+from vstrains_tpu.ops.pe_infer import infer_pe_links
+from vstrains_tpu.parallel.mesh import (infer_pe_links_sharded, make_mesh,
+                                        sp_window_hashes)
+
+
+@pytest.mark.parametrize("data,model", [(8, 1), (4, 2), (2, 4)])
+def test_sharded_pe_bitwise_equal(eight_devices, data, model):
+    rng = np.random.RandomState(17)
+    k = 11
+    refs = _random_refs(rng, 5, [70, 90, 110, 130, 150])
+    fwd, rve = _sample_reads(rng, refs, 100, 35, k)
+    batch = _make_batch(fwd, rve, k + 1)
+    ids = [str(i) for i in range(5)]
+
+    serial = infer_pe_links(ids, refs, batch, k, batch_size=64)
+    mesh = make_mesh(data=data, model=model, devices=eight_devices)
+    sharded = infer_pe_links_sharded(ids, refs, batch, k, mesh,
+                                     batch_size=48)
+    np.testing.assert_array_equal(serial.node_mat, sharded.node_mat)
+    np.testing.assert_array_equal(serial.short_mat, sharded.short_mat)
+
+
+def test_sp_window_hashes_match_host(eight_devices):
+    rng = np.random.RandomState(5)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    s = bases[rng.randint(0, 4, 1000)].tobytes().decode()
+    codes = encode_seq(s)
+    L = 22
+    mesh = make_mesh(data=8, model=1, devices=eight_devices)
+    h1, h2, valid = sp_window_hashes(codes, L, mesh)
+    e1, e2, ev = window_hashes_np(codes, L)
+    np.testing.assert_array_equal(valid, ev)
+    np.testing.assert_array_equal(h1, e1)
+    np.testing.assert_array_equal(h2, e2)

@@ -183,13 +183,16 @@ def _device_window_hashes(codes: jnp.ndarray, lens: jnp.ndarray,
 # device: probe + per-read node stats + saturation
 # --------------------------------------------------------------------------
 
-def _probe_and_saturate(codes, lens, tab_h1b, tab_h2, tab_node, tab_off,
-                        seq_lens, split_len: int, max_dup: int,
-                        num_nodes: int):
-    """One read end for a whole batch -> saturated mask [B, N] (float32 0/1).
+def _probe_stats(codes, lens, tab_h1b, tab_h2, tab_node, tab_off,
+                 split_len: int, max_dup: int, num_nodes: int):
+    """Per-(read, node) hit stats for one read end of a batch: (count,
+    min ref coord, min read k-index), each int32 [B, N].
 
-    Mirrors single_end_read_mapping (PE_Inference.py:16-48) for every read of
-    the batch at once.
+    Mirrors the accumulation loop of single_end_read_mapping
+    (PE_Inference.py:24-31) for the whole batch at once. The three stats are
+    a commutative monoid (sum, min, min), so partial stats from disjoint
+    table shards combine exactly with psum/pmin — the tensor-parallel path
+    in parallel/mesh.py relies on this.
     """
     B = codes.shape[0]
     N = num_nodes
@@ -225,11 +228,12 @@ def _probe_and_saturate(codes, lens, tab_h1b, tab_h2, tab_node, tab_off,
         return cnt, cmin, kmin
 
     cnt, cmin, kmin = jax.lax.fori_loop(0, max_dup, body, (cnt, cmin, kmin))
-    cnt = cnt[:, :N]
-    cmin = cmin[:, :N]
-    kmin = kmin[:, :N]
+    return cnt[:, :N], cmin[:, :N], kmin[:, :N]
 
-    # saturation test, exact-integer form (see module docstring)
+
+def _saturate(cnt, cmin, kmin, lens, seq_lens, split_len: int):
+    """The reference saturation test in exact-integer form (see module
+    docstring); returns the per-(read, node) mask as float32 0/1."""
     hit = cnt > 0
     rl = lens[:, None].astype(jnp.int32)
     ref = seq_lens[None, :].astype(jnp.int32)
@@ -243,16 +247,22 @@ def _probe_and_saturate(codes, lens, tab_h1b, tab_h2, tab_node, tab_off,
     return ok.astype(jnp.float32)
 
 
-def _pe_batch_kernel(fwd_codes, fwd_len, rve_codes, rve_len,
-                     tab_h1b, tab_h2, tab_node, tab_off, seq_lens,
-                     split_len: int, max_dup: int, num_nodes: int):
-    """Full per-batch link accumulation -> (node_mat, short_mat) int32
-    [N, N]. MXU matmuls replace the reference's pair loops
-    (PE_Inference.py:174-188)."""
-    f = _probe_and_saturate(fwd_codes, fwd_len, tab_h1b, tab_h2, tab_node,
-                            tab_off, seq_lens, split_len, max_dup, num_nodes)
-    r = _probe_and_saturate(rve_codes, rve_len, tab_h1b, tab_h2, tab_node,
-                            tab_off, seq_lens, split_len, max_dup, num_nodes)
+def _probe_and_saturate(codes, lens, tab_h1b, tab_h2, tab_node, tab_off,
+                        seq_lens, split_len: int, max_dup: int,
+                        num_nodes: int):
+    """One read end for a whole batch -> saturated mask [B, N] (float32 0/1).
+
+    Mirrors single_end_read_mapping (PE_Inference.py:16-48) for every read of
+    the batch at once.
+    """
+    cnt, cmin, kmin = _probe_stats(codes, lens, tab_h1b, tab_h2, tab_node,
+                                   tab_off, split_len, max_dup, num_nodes)
+    return _saturate(cnt, cmin, kmin, lens, seq_lens, split_len)
+
+
+def _pair_matmuls(f, r, num_nodes: int):
+    """Link-count accumulation as MXU matmuls (replaces the reference's
+    O(|lefts| x |rights|) Python pair loops, PE_Inference.py:174-188)."""
     node_mat = jax.lax.dot_general(
         f, r, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
     same = (jax.lax.dot_general(f, f, (((0,), (0,)), ((), ())),
@@ -264,6 +274,19 @@ def _pe_batch_kernel(fwd_codes, fwd_len, rve_codes, rve_len,
     cols = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
     short_mat = jnp.where(rows <= cols, same, 0.0)
     return node_mat.astype(jnp.int32), short_mat.astype(jnp.int32)
+
+
+def _pe_batch_kernel(fwd_codes, fwd_len, rve_codes, rve_len,
+                     tab_h1b, tab_h2, tab_node, tab_off, seq_lens,
+                     split_len: int, max_dup: int, num_nodes: int):
+    """Full per-batch link accumulation -> (node_mat, short_mat) int32
+    [N, N]. MXU matmuls replace the reference's pair loops
+    (PE_Inference.py:174-188)."""
+    f = _probe_and_saturate(fwd_codes, fwd_len, tab_h1b, tab_h2, tab_node,
+                            tab_off, seq_lens, split_len, max_dup, num_nodes)
+    r = _probe_and_saturate(rve_codes, rve_len, tab_h1b, tab_h2, tab_node,
+                            tab_off, seq_lens, split_len, max_dup, num_nodes)
+    return _pair_matmuls(f, r, num_nodes)
 
 
 # --------------------------------------------------------------------------

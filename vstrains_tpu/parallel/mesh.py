@@ -1,0 +1,254 @@
+"""Multi-chip scaling over a jax.sharding.Mesh.
+
+Parallelism axes (the reference is single-threaded Python; every axis here
+is new design — SURVEY.md section 2):
+
+  data  (DP): read batches shard across chips; each chip runs the full
+        probe+saturate+matmul kernel on its shard; int32 link matrices merge
+        with psum. Integer addition is associative+commutative, so any
+        sharding is bit-identical to the serial loop.
+  model (TP): the k-mer table shards across chips by sorted-hash range;
+        each chip probes only its shard, producing partial per-(read, node)
+        stats; (count, min-coord, min-kindex) is a commutative monoid, so
+        psum/pmin over the model axis reconstructs exact full-table stats
+        before the saturation test.
+  seq   (SP): window-hash extraction over long node sequences splits the
+        sequence axis with (L-1)-code halo exchange between neighbor shards
+        (ppermute over ICI) — the genomics analogue of context parallelism.
+
+All collectives ride ICI within a slice; DCN across hosts via
+jax.distributed (same psum path).
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass
+from functools import partial
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:  # JAX >= 0.6 moved shard_map to the top level
+    from jax import shard_map as _shard_map_mod
+    shard_map = _shard_map_mod
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+from vstrains_tpu.core.fastq import ReadPairBatch
+from vstrains_tpu.ops.pe_infer import (KmerTable, PEResult, _pair_matmuls,
+                                       _probe_stats, _saturate,
+                                       build_kmer_table)
+
+_LOG = logging.getLogger(__name__)
+
+_INT32_MAX = np.int32(2**31 - 1)
+
+
+def make_mesh(data: int = None, model: int = 1,
+              devices: Optional[Sequence] = None) -> Mesh:
+    """Build a (data, model) mesh over the available devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    if data is None:
+        data = len(devices) // model
+    use = np.array(devices[: data * model]).reshape(data, model)
+    return Mesh(use, ("data", "model"))
+
+
+# --------------------------------------------------------------------------
+# table sharding (TP)
+# --------------------------------------------------------------------------
+
+@dataclass
+class ShardedTable:
+    """KmerTable split into `n_shards` contiguous sorted-hash ranges, padded
+    to equal length with never-matching sentinels."""
+    h1_biased: np.ndarray  # int32 [S, M']
+    h2: np.ndarray         # int32 [S, M']
+    node: np.ndarray       # int32 [S, M']
+    offset: np.ndarray     # int32 [S, M']
+    max_dup: int
+    num_nodes: int
+    split_len: int
+    seq_lens: np.ndarray
+
+
+def shard_table(table: KmerTable, n_shards: int) -> ShardedTable:
+    m = table.num_entries
+    per = -(-m // n_shards) if m else 1
+    h1 = np.full((n_shards, per), _INT32_MAX, dtype=np.int32)
+    h2 = np.full((n_shards, per), -1, dtype=np.int32)
+    node = np.zeros((n_shards, per), dtype=np.int32)
+    off = np.zeros((n_shards, per), dtype=np.int32)
+    for s in range(n_shards):
+        lo = s * per
+        hi = min(lo + per, m)
+        if hi > lo:
+            h1[s, : hi - lo] = table.h1_biased[lo:hi]
+            h2[s, : hi - lo] = table.h2[lo:hi]
+            node[s, : hi - lo] = table.node[lo:hi]
+            off[s, : hi - lo] = table.offset[lo:hi]
+    return ShardedTable(h1, h2, node, off, table.max_dup, table.num_nodes,
+                        table.split_len, table.seq_lens)
+
+
+# --------------------------------------------------------------------------
+# DP x TP PE-inference step
+# --------------------------------------------------------------------------
+
+def make_sharded_pe_step(mesh: Mesh, split_len: int, max_dup: int,
+                         num_nodes: int):
+    """jit-compiled (data x model)-sharded PE-link step.
+
+    Inputs: read codes/lens sharded over 'data'; table arrays sharded over
+    'model'; seq_lens replicated. Output: (node_mat, short_mat) int32
+    [N, N], fully replicated.
+    """
+
+    def local_step(fc, fl, rc, rl, th1, th2, tn, to, seq_lens):
+        # shard_map passes blocks with a leading axis of size 1 for the
+        # model-sharded table; drop it.
+        th1, th2, tn, to = (a[0] for a in (th1, th2, tn, to))
+
+        def end_stats(codes, lens):
+            cnt, cmin, kmin = _probe_stats(codes, lens, th1, th2, tn, to,
+                                           split_len, max_dup, num_nodes)
+            # exact combine of partial stats across table shards
+            cnt = jax.lax.psum(cnt, "model")
+            cmin = jax.lax.pmin(cmin, "model")
+            kmin = jax.lax.pmin(kmin, "model")
+            return _saturate(cnt, cmin, kmin, lens, seq_lens, split_len)
+
+        f = end_stats(fc, fl)
+        r = end_stats(rc, rl)
+        nm, sm = _pair_matmuls(f, r, num_nodes)
+        nm = jax.lax.psum(nm, "data")
+        sm = jax.lax.psum(sm, "data")
+        return nm, sm
+
+    return jax.jit(shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P("data", None), P("data"), P("data", None), P("data"),
+                  P("model", None), P("model", None), P("model", None),
+                  P("model", None), P(None)),
+        out_specs=(P(None, None), P(None, None)),
+        check_vma=False,
+    ))
+
+
+def infer_pe_links_sharded(ids: Sequence[str], seqs: Sequence[str],
+                           reads: ReadPairBatch, kmer_size: int,
+                           mesh: Mesh = None,
+                           batch_size: int = 8192,
+                           logger: logging.Logger = None) -> PEResult:
+    """Data+tensor-parallel PE-link inference over a device mesh.
+
+    Bit-identical to ops.pe_infer.infer_pe_links (and hence to the serial
+    reference accumulation) for any mesh shape — property-tested in
+    tests/test_parallel.py.
+    """
+    logger = logger or _LOG
+    if mesh is None:
+        mesh = make_mesh()
+    n_data = mesh.shape["data"]
+    n_model = mesh.shape["model"]
+    split_len = kmer_size + 1
+    table = build_kmer_table(seqs, split_len)
+    N = table.num_nodes
+    logger.info("sharded pe: mesh data=%d model=%d, table %d entries",
+                n_data, n_model, table.num_entries)
+
+    node_mat = np.zeros((N, N), dtype=np.int64)
+    short_mat = np.zeros((N, N), dtype=np.int64)
+    if reads.num_pairs == 0 or table.num_entries == 0:
+        return PEResult(list(ids), node_mat, short_mat, reads.n_reads,
+                        reads.short_reads, reads.used_reads)
+
+    stab = shard_table(table, n_model)
+    step = make_sharded_pe_step(mesh, split_len, table.max_dup, N)
+    tab_args = (jnp.asarray(stab.h1_biased), jnp.asarray(stab.h2),
+                jnp.asarray(stab.node), jnp.asarray(stab.offset),
+                jnp.asarray(table.seq_lens))
+
+    # batch size must divide evenly over the data axis
+    bs = -(-batch_size // n_data) * n_data
+    B = reads.num_pairs
+    for start in range(0, B, bs):
+        end = min(start + bs, B)
+        fc = reads.fwd_codes[start:end]
+        rc = reads.rve_codes[start:end]
+        fl = reads.fwd_len[start:end]
+        rl = reads.rve_len[start:end]
+        if end - start < bs:
+            pad = bs - (end - start)
+            fc = np.pad(fc, ((0, pad), (0, 0)), constant_values=255)
+            rc = np.pad(rc, ((0, pad), (0, 0)), constant_values=255)
+            fl = np.pad(fl, (0, pad))
+            rl = np.pad(rl, (0, pad))
+        nm, sm = step(jnp.asarray(fc), jnp.asarray(fl), jnp.asarray(rc),
+                      jnp.asarray(rl), *tab_args)
+        node_mat += np.asarray(nm, dtype=np.int64)
+        short_mat += np.asarray(sm, dtype=np.int64)
+
+    return PEResult(list(ids), node_mat, short_mat, reads.n_reads,
+                    reads.short_reads, reads.used_reads)
+
+
+# --------------------------------------------------------------------------
+# sequence-parallel window hashing (SP/CP analogue)
+# --------------------------------------------------------------------------
+
+def make_sp_window_hash_step(mesh: Mesh, L: int, block: int):
+    """Window hashes of one long sequence, sequence axis sharded over the
+    'data' mesh axis with an (L-1)-code halo pulled from the right neighbor
+    via ppermute — context-parallelism for k-mer extraction over ICI."""
+    from vstrains_tpu.core.seq import HASH_MULT_1, HASH_MULT_2, _mult_pows
+
+    pow1 = _mult_pows(HASH_MULT_1, L)[::-1].copy()
+    pow2 = _mult_pows(HASH_MULT_2, L)[::-1].copy()
+    n_shards = mesh.shape["data"]
+    perm = [(i, (i - 1) % n_shards) for i in range(n_shards)]  # send left
+
+    def local(codes):  # codes: uint8 [block] (1-D shard over 'data')
+        halo_src = codes[: L - 1]
+        halo = jax.lax.ppermute(halo_src, "data", perm)
+        ext = jnp.concatenate([codes, halo])  # [block + L - 1]
+        c = jnp.where(ext < 4, ext, 0).astype(jnp.uint32) + jnp.uint32(1)
+        bad = (ext >= 4).astype(jnp.int32)
+        h1 = jnp.zeros((block,), jnp.uint32)
+        h2 = jnp.zeros((block,), jnp.uint32)
+        nbad = jnp.zeros((block,), jnp.int32)
+        for i in range(L):
+            h1 = h1 + jax.lax.dynamic_slice(c, (i,), (block,)) \
+                * jnp.uint32(pow1[i])
+            h2 = h2 + jax.lax.dynamic_slice(c, (i,), (block,)) \
+                * jnp.uint32(pow2[i])
+            nbad = nbad + jax.lax.dynamic_slice(bad, (i,), (block,))
+        valid = nbad == 0
+        return h1, h2, valid
+
+    return jax.jit(shard_map(
+        local, mesh=mesh,
+        in_specs=(P("data"),),
+        out_specs=(P("data"), P("data"), P("data")),
+        check_vma=False,
+    ))
+
+
+def sp_window_hashes(codes: np.ndarray, L: int, mesh: Mesh):
+    """Sequence-parallel window hashes of a single long code array; returns
+    (h1, h2, valid) for all len(codes)-L+1 windows."""
+    n_shards = mesh.shape["data"]
+    n = codes.shape[0]
+    block = -(-n // n_shards)
+    padded = np.full(block * n_shards, 255, dtype=np.uint8)
+    padded[:n] = codes
+    step = make_sp_window_hash_step(mesh, L, block)
+    h1, h2, valid = step(jnp.asarray(padded))
+    w = n - L + 1
+    return (np.asarray(h1)[:w], np.asarray(h2)[:w],
+            np.asarray(valid)[:w])
