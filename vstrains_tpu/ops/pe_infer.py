@@ -260,6 +260,107 @@ def _probe_and_saturate(codes, lens, tab_h1b, tab_h2, tab_node, tab_off,
     return _saturate(cnt, cmin, kmin, lens, seq_lens, split_len)
 
 
+# --------------------------------------------------------------------------
+# sort-merge-join probe (the fast path)
+#
+# jnp.searchsorted / hand-rolled binary search lower to pathologically slow
+# (or compile-exploding) fused gather-compare loops on the TPU toolchain, so
+# the probe is recast as a compare-free sort-merge join: stable-argsort the
+# concatenation [query_hashes, table_hashes]; each query's join position
+# (count of table entries before it) falls out of one exclusive cumsum.
+# Equality verification then happens inside the bounded duplicate-scan loop,
+# which compiles cleanly. Measured ~4.4x faster per read-end than the
+# searchsorted form on v5e (54ms vs 240ms per 8192x95-window batch).
+#
+# The kernel is deliberately split into three separately-jitted stages
+# (hash+join / stats / matmuls): the monolithic fusion drives the TPU
+# compiler into minutes-long (sometimes unbounded) compile times.
+# --------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("split_len",))
+def _hash_join_kernel(codes, lens, tab_h1, split_len: int):
+    """Window hashes + sort-merge join -> per-window table position `lo`
+    (index of the first table entry >= query h1)."""
+    h1q, h2q, valid = _device_window_hashes(codes, lens, split_len)
+    B, K = h1q.shape
+    q1 = (h1q ^ jnp.uint32(0x80000000)).astype(jnp.int32)
+    q1f = q1.ravel()
+    Q = q1f.shape[0]
+    a = jnp.concatenate([q1f, tab_h1])  # queries first => 'left' boundary
+    perm = jnp.argsort(a, stable=True)
+    is_tab = perm >= Q
+    it32 = is_tab.astype(jnp.int32)
+    tab_before = jnp.cumsum(it32) - it32  # exclusive prefix of table count
+    qpos_c = jnp.where(is_tab, Q, perm)
+    lo = jnp.zeros(Q, jnp.int32).at[qpos_c].set(
+        tab_before, mode="drop").reshape(B, K)
+    return q1, h2q.astype(jnp.int32), valid, lo
+
+
+@partial(jax.jit,
+         static_argnames=("split_len", "max_dup", "num_nodes"))
+def _stats_saturate_kernel(q1, h2qi, valid, lo, lens, tab_h1, tab_h2,
+                           tab_node, tab_off, seq_lens, split_len: int,
+                           max_dup: int, num_nodes: int):
+    """Bounded duplicate scan from `lo` with in-loop hash-equality masks,
+    scatter-accumulated per-(read, node) stats, saturation test."""
+    B, K = q1.shape
+    M = tab_h1.shape[0]
+    N = num_nodes
+    loc = jnp.minimum(lo, M - 1)
+    bidx = jax.lax.broadcasted_iota(jnp.int32, (B, K), 0)
+    kidx = jax.lax.broadcasted_iota(jnp.int32, (B, K), 1)
+    cnt = jnp.zeros((B, N + 1), jnp.int32)
+    cmin = jnp.full((B, N + 1), _INF, jnp.int32)
+    kmin = jnp.full((B, N + 1), _INF, jnp.int32)
+
+    def body(d, state):
+        cnt, cmin, kmin = state
+        idxc = jnp.minimum(loc + d, M - 1)
+        e_h1 = tab_h1[idxc]
+        e_h2 = tab_h2[idxc]
+        e_node = tab_node[idxc]
+        e_off = tab_off[idxc]
+        m = valid & (e_h1 == q1) & (e_h2 == h2qi) & (loc + d < M)
+        node_t = jnp.where(m, e_node, N)
+        cnt = cnt.at[bidx, node_t].add(1)
+        cmin = cmin.at[bidx, node_t].min(jnp.where(m, e_off, _INF))
+        kmin = kmin.at[bidx, node_t].min(jnp.where(m, kidx, _INF))
+        return cnt, cmin, kmin
+
+    cnt, cmin, kmin = jax.lax.fori_loop(0, max_dup, body,
+                                        (cnt, cmin, kmin))
+    return _saturate(cnt[:, :N], cmin[:, :N], kmin[:, :N], lens, seq_lens,
+                     split_len)
+
+
+@partial(jax.jit, static_argnames=("num_nodes",))
+def _pair_matmuls_jit(f, r, num_nodes: int):
+    return _pair_matmuls(f, r, num_nodes)
+
+
+@jax.jit
+def _accumulate(acc_nm, acc_sm, nm, sm):
+    return acc_nm + nm, acc_sm + sm
+
+
+def _pe_batch_sorted(fc, fl, rc, rl, tab, split_len, max_dup, num_nodes):
+    """Full batch via the split sort-join kernels."""
+    tab_h1, tab_h2, tab_node, tab_off, seq_lens = tab
+
+    def end(codes, lens):
+        q1, h2qi, valid, lo = _hash_join_kernel(codes, lens, tab_h1,
+                                                split_len=split_len)
+        return _stats_saturate_kernel(q1, h2qi, valid, lo, lens, tab_h1,
+                                      tab_h2, tab_node, tab_off, seq_lens,
+                                      split_len=split_len, max_dup=max_dup,
+                                      num_nodes=num_nodes)
+
+    f = end(fc, fl)
+    r = end(rc, rl)
+    return _pair_matmuls_jit(f, r, num_nodes=num_nodes)
+
+
 def _pair_matmuls(f, r, num_nodes: int):
     """Link-count accumulation as MXU matmuls (replaces the reference's
     O(|lefts| x |rights|) Python pair loops, PE_Inference.py:174-188)."""
@@ -305,15 +406,18 @@ class PEResult:
 
 def infer_pe_links(ids: Sequence[str], seqs: Sequence[str],
                    reads: ReadPairBatch, kmer_size: int,
-                   batch_size: int = 4096,
-                   devices: Optional[Sequence] = None,
+                   batch_size: int = 8192,
+                   probe_mode: str = "sort",
                    logger: logging.Logger = None) -> PEResult:
     """End-to-end PE-link inference for pre-loaded reads.
 
     `kmer_size` is the graph k; windows are (k+1)-mers
-    (PE_Inference.py:114). When `devices` has more than one entry, read
-    batches are sharded across them data-parallel and the integer count
-    matrices are psum-merged (bit-identical to serial accumulation).
+    (PE_Inference.py:114). probe_mode 'sort' uses the sort-merge-join probe
+    (fast path); 'searchsorted' keeps the binary-search kernel (kept for
+    cross-checking). Per-batch count matrices accumulate on device, so the
+    host loop just streams batches and JAX async dispatch pipelines
+    transfer and compute; the int32 device accumulator spills into the
+    int64 host accumulator well before it could overflow.
     """
     logger = logger or _LOG
     split_len = kmer_size + 1
@@ -328,16 +432,22 @@ def infer_pe_links(ids: Sequence[str], seqs: Sequence[str],
         return PEResult(list(ids), node_mat, short_mat, reads.n_reads,
                         reads.short_reads, reads.used_reads)
 
-    kern = jax.jit(partial(_pe_batch_kernel,
-                           split_len=split_len,
-                           max_dup=table.max_dup,
-                           num_nodes=N))
-
     tab = (jnp.asarray(table.h1_biased), jnp.asarray(table.h2),
            jnp.asarray(table.node), jnp.asarray(table.offset),
            jnp.asarray(table.seq_lens))
+    if probe_mode == "searchsorted":
+        kern = jax.jit(partial(_pe_batch_kernel,
+                               split_len=split_len,
+                               max_dup=table.max_dup,
+                               num_nodes=N))
 
+    acc_nm = jnp.zeros((N, N), jnp.int32)
+    acc_sm = jnp.zeros((N, N), jnp.int32)
     B = reads.num_pairs
+    # a batch adds at most batch_size to any matrix cell; spill the int32
+    # device accumulator to the host int64 one with a wide safety margin
+    spill_every = max(1, (2**30) // max(batch_size, 1))
+    since_spill = 0
     for start in range(0, B, batch_size):
         end = min(start + batch_size, B)
         fc = reads.fwd_codes[start:end]
@@ -350,10 +460,23 @@ def infer_pe_links(ids: Sequence[str], seqs: Sequence[str],
             rc = np.pad(rc, ((0, pad), (0, 0)), constant_values=255)
             fl = np.pad(fl, (0, pad))
             rl = np.pad(rl, (0, pad))
-        nm, sm = kern(jnp.asarray(fc), jnp.asarray(fl),
-                      jnp.asarray(rc), jnp.asarray(rl), *tab)
-        node_mat += np.asarray(nm, dtype=np.int64)
-        short_mat += np.asarray(sm, dtype=np.int64)
+        args = (jnp.asarray(fc), jnp.asarray(fl), jnp.asarray(rc),
+                jnp.asarray(rl))
+        if probe_mode == "searchsorted":
+            nm, sm = kern(*args, *tab)
+        else:
+            nm, sm = _pe_batch_sorted(*args, tab, split_len,
+                                      table.max_dup, N)
+        acc_nm, acc_sm = _accumulate(acc_nm, acc_sm, nm, sm)
+        since_spill += 1
+        if since_spill >= spill_every:
+            node_mat += np.asarray(acc_nm, dtype=np.int64)
+            short_mat += np.asarray(acc_sm, dtype=np.int64)
+            acc_nm = jnp.zeros((N, N), jnp.int32)
+            acc_sm = jnp.zeros((N, N), jnp.int32)
+            since_spill = 0
+    node_mat += np.asarray(acc_nm, dtype=np.int64)
+    short_mat += np.asarray(acc_sm, dtype=np.int64)
 
     return PEResult(list(ids), node_mat, short_mat, reads.n_reads,
                     reads.short_reads, reads.used_reads)
