@@ -1,0 +1,55 @@
+"""FASTQ loading: Python path semantics + native C++ path equivalence."""
+
+import numpy as np
+import pytest
+
+from vstrains_tpu.core.fastq import load_read_pairs
+
+
+def _write_fastq(path, seqs):
+    with open(path, "w") as f:
+        for i, s in enumerate(seqs):
+            f.write(f"@r{i}\n{s}\n+\n{'I' * len(s)}\n")
+
+
+@pytest.fixture
+def pair_files(tmp_path):
+    fseqs = ["ACGTACGTACGT", "ACGNACGTACGT", "ACG", "TTTTGGGGCCCC",
+             "ACGTACGTACGTACGT"]
+    rseqs = ["TGCATGCATGCA", "ACGTACGTACGT", "ACGTACGTACGT", "CCGG",
+             "GGGGTTTT"]
+    fp = tmp_path / "r1.fastq"
+    rp = tmp_path / "r2.fastq"
+    _write_fastq(fp, fseqs)
+    _write_fastq(rp, rseqs)
+    return str(fp), str(rp)
+
+
+def test_python_loader_filtering(pair_files):
+    fp, rp = pair_files
+    batch = load_read_pairs(fp, rp, split_len=6, use_native=False)
+    # pair1 has N -> n_reads; pair2 fwd len 3 < 6 and pair3 rve len 4 < 6
+    # -> short
+    assert batch.n_reads == 1
+    assert batch.short_reads == 2
+    assert batch.used_reads == 2
+    assert batch.fwd_len.tolist() == [12, 16]
+    assert batch.rve_len.tolist() == [12, 8]
+    # padding with BAD_CODE
+    assert batch.rve_codes[1, 8:].max() == 255
+
+
+def test_native_matches_python(pair_files):
+    from vstrains_tpu.native import get_lib
+    if get_lib() is None:
+        pytest.skip("no native toolchain")
+    fp, rp = pair_files
+    py = load_read_pairs(fp, rp, split_len=6, use_native=False)
+    nat = load_read_pairs(fp, rp, split_len=6, use_native=True)
+    assert nat.n_reads == py.n_reads
+    assert nat.short_reads == py.short_reads
+    assert nat.used_reads == py.used_reads
+    np.testing.assert_array_equal(nat.fwd_len, py.fwd_len)
+    np.testing.assert_array_equal(nat.rve_len, py.rve_len)
+    np.testing.assert_array_equal(nat.fwd_codes, py.fwd_codes)
+    np.testing.assert_array_equal(nat.rve_codes, py.rve_codes)

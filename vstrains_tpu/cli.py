@@ -50,7 +50,13 @@ def build_parser() -> argparse.ArgumentParser:
                         type=str,
                         help="paired-end reads, reverse strand (.fastq)")
     parser.add_argument("--pe-batch-size", dest="pe_batch_size",
-                        default=4096, type=int, help=argparse.SUPPRESS)
+                        default=8192, type=int, help=argparse.SUPPRESS)
+    parser.add_argument("--resume", dest="resume", action="store_true",
+                        default=False,
+                        help="resume from the last completed stage "
+                             "checkpoint in the output directory")
+    parser.add_argument("--profile-dir", dest="profile_dir", default=None,
+                        type=str, help=argparse.SUPPRESS)
     return parser
 
 
@@ -85,17 +91,21 @@ def main(argv=None) -> int:
     if args.output_dir.endswith("/"):
         args.output_dir = args.output_dir[:-1]
     os.makedirs(args.output_dir, exist_ok=True)
-    try:
-        os.makedirs(args.output_dir + "/gfa/")
-        os.makedirs(args.output_dir + "/tmp/")
-        os.makedirs(args.output_dir + "/paf/")
-        os.makedirs(args.output_dir + "/aln/")
-    except OSError:
-        print("\nCurrent output directory is not empty")
-        print("Please empty/re-create the output directory: "
-              + str(args.output_dir))
-        print("\nExiting...\n")
-        return 1
+    if args.resume:
+        for sub in ["gfa", "tmp", "paf", "aln"]:
+            os.makedirs(f"{args.output_dir}/{sub}", exist_ok=True)
+    else:
+        try:
+            os.makedirs(args.output_dir + "/gfa/")
+            os.makedirs(args.output_dir + "/tmp/")
+            os.makedirs(args.output_dir + "/paf/")
+            os.makedirs(args.output_dir + "/aln/")
+        except OSError:
+            print("\nCurrent output directory is not empty")
+            print("Please empty/re-create the output directory: "
+                  + str(args.output_dir))
+            print("\nExiting...\n")
+            return 1
 
     logger = logging.getLogger("vstrains-tpu %s" % __version__)
     logger.setLevel(logging.DEBUG if args.dev else logging.INFO)

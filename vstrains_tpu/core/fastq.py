@@ -67,8 +67,22 @@ def _pack(seqs: List[bytes], pad_to_multiple: int = 1
 
 
 def load_read_pairs(fwd_path: str, rve_path: str, split_len: int,
-                    pad_to_multiple: int = 1) -> ReadPairBatch:
-    """Load and filter paired FASTQ files into a ReadPairBatch."""
+                    pad_to_multiple: int = 1,
+                    use_native: bool = True) -> ReadPairBatch:
+    """Load and filter paired FASTQ files into a ReadPairBatch.
+
+    Uses the C++ loader (native/fastq_reader.cpp) when available; this
+    Python path is the reference implementation and fallback.
+    """
+    if use_native:
+        try:
+            from vstrains_tpu.native import load_read_pairs_native
+            batch = load_read_pairs_native(fwd_path, rve_path, split_len,
+                                           pad_to_multiple)
+            if batch is not None:
+                return batch
+        except Exception:
+            pass
     fwd = read_fastq_seqs(fwd_path)
     rve = read_fastq_seqs(rve_path)
     total = min(len(fwd), len(rve))

@@ -1,0 +1,108 @@
+"""Native (C++) host-side components, built on demand with g++ and loaded
+via ctypes. Falls back to pure Python silently when no toolchain exists."""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+import tempfile
+from typing import Optional
+
+_LOG = logging.getLogger(__name__)
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SO_PATH = os.path.join(_DIR, "libfastq.so")
+_LIB = None
+_TRIED = False
+
+
+def _build() -> bool:
+    src = os.path.join(_DIR, "fastq_reader.cpp")
+    if not os.path.exists(src):
+        return False
+    if (os.path.exists(_SO_PATH)
+            and os.path.getmtime(_SO_PATH) >= os.path.getmtime(src)):
+        return True
+    for flags in (["-O3", "-fopenmp"], ["-O3"]):
+        cmd = ["g++", *flags, "-shared", "-fPIC", "-o", _SO_PATH, src]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True,
+                           timeout=120)
+            return True
+        except Exception as e:  # try next flag set
+            _LOG.debug("native build failed (%s): %s", flags, e)
+    return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    try:
+        if not _build():
+            return None
+        lib = ctypes.CDLL(_SO_PATH)
+        lib.fq_open.restype = ctypes.c_void_p
+        lib.fq_open.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
+                                ctypes.c_int64]
+        for fn in ["fq_num_pairs", "fq_n_reads", "fq_short_reads",
+                   "fq_max_flen", "fq_max_rlen"]:
+            getattr(lib, fn).restype = ctypes.c_int64
+            getattr(lib, fn).argtypes = [ctypes.c_void_p]
+        lib.fq_fill.restype = None
+        lib.fq_fill.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64, ctypes.c_int64]
+        lib.fq_close.restype = None
+        lib.fq_close.argtypes = [ctypes.c_void_p]
+        _LIB = lib
+    except Exception as e:
+        _LOG.debug("native lib unavailable: %s", e)
+        _LIB = None
+    return _LIB
+
+
+def load_read_pairs_native(fwd_path: str, rve_path: str, split_len: int,
+                           pad_to_multiple: int = 1):
+    """C++ fast path of core.fastq.load_read_pairs; returns None if the
+    native library is unavailable."""
+    import numpy as np
+
+    from vstrains_tpu.core.fastq import ReadPairBatch
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    h = lib.fq_open(fwd_path.encode(), rve_path.encode(), split_len)
+    if not h:
+        return None
+    try:
+        n = lib.fq_num_pairs(h)
+        tf = int(lib.fq_max_flen(h))
+        tr = int(lib.fq_max_rlen(h))
+        if pad_to_multiple > 1:
+            if tf % pad_to_multiple:
+                tf += pad_to_multiple - tf % pad_to_multiple
+            if tr % pad_to_multiple:
+                tr += pad_to_multiple - tr % pad_to_multiple
+        fwd_codes = np.empty((n, tf), dtype=np.uint8)
+        rve_codes = np.empty((n, tr), dtype=np.uint8)
+        fwd_len = np.empty(n, dtype=np.int32)
+        rve_len = np.empty(n, dtype=np.int32)
+        if n > 0:
+            lib.fq_fill(
+                h,
+                fwd_codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                fwd_len.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                rve_codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                rve_len.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                tf, tr)
+        return ReadPairBatch(fwd_codes, fwd_len, rve_codes, rve_len,
+                             int(lib.fq_n_reads(h)),
+                             int(lib.fq_short_reads(h)), int(n))
+    finally:
+        lib.fq_close(h)

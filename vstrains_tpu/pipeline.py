@@ -1,27 +1,33 @@
-"""End-to-end pipeline orchestrator.
+"""End-to-end pipeline orchestrator with stage checkpoints and resume.
 
 Stage structure parity with /root/reference/utils/VStrains_SPAdes.py:25-280:
   1. parse graph + canonize + reindex        (gfa/graph_L0.gfa, graph_L0r.gfa)
-  2. coverage threshold + contig parse
+  2. coverage threshold + contig parse       [ckpt: contigs]
   3. low-coverage simplification             (gfa/s_graph_L1.gfa)
   4. PE-link inference                       (aln/pe_info, aln/st_info)
      — in-process on-device engine (ops/pe_infer) instead of the
        reference's child Python process (SPAdes.py:119-132); the files are
        still written as stage checkpoints with identical format.
+                                             [ckpt: pe_links]
   5. edge cleaning                           (gfa/es_graph_L2.gfa)
+                                             [ckpt: cleaned]
   6. iterative disentanglement               (gfa/split_graph_*.gfa)
+                                             [ckpt: disentangled]
   7. best matching + NT coverage inflation   (gfa/split_graph_final.gfa)
   8. contig path extension                   (gfa/graph_S*.gfa)
+                                             [ckpt: extended]
   9. finalize: trim/dedup/repeat-resolution  (strain.fasta, strain.paths)
 
-Every stage writes its GFA breadcrumb, so a crashed run can resume from any
-stage file (see utils/checkpoint.py).
+The reference's pipeline is only implicitly resumable (stage GFA files on
+disk, manual restart). Here `args.resume` restarts from the most advanced
+completed checkpoint: graphs reload from their stage GFAs, host state
+(contig/PE dicts, mappings) from ckpt/<stage>.json (utils/checkpoint.py).
+Per-stage wall times land in <out>/timings.json (utils/tracing.py).
 """
 
 from __future__ import annotations
 
 import logging
-import os
 import time
 from typing import Optional
 
@@ -43,11 +49,15 @@ from vstrains_tpu.core.contig_io import (contig_dict_to_fasta,
 from vstrains_tpu.core.fastq import load_read_pairs
 from vstrains_tpu.core.gfa import (load_flipped_gfa, store_reinit_graph,
                                    write_gfa)
-from vstrains_tpu.ops.graph_ops import threshold_estimation
+from vstrains_tpu.ops.graph_ops import assign_edge_flow, threshold_estimation
 from vstrains_tpu.ops.pe_infer import (infer_pe_links, pe_info_from_result,
                                        write_pe_files)
+from vstrains_tpu.utils import checkpoint as ckpt
+from vstrains_tpu.utils.tracing import StageTimer
 
 _LOG = logging.getLogger(__name__)
+
+_STAGE_ORDER = {s: i for i, s in enumerate(ckpt.STAGES)}
 
 
 class PipelineError(Exception):
@@ -56,43 +66,80 @@ class PipelineError(Exception):
 
 def run(args, logger: logging.Logger = None) -> int:
     """args needs: gfa_file, path_file, fwd, rve, output_dir, min_cov,
-    min_len, dev (mirrors the reference CLI namespace)."""
+    min_len, dev (mirrors the reference CLI namespace); optional: resume,
+    pe_batch_size, profile_dir."""
     logger = logger or _LOG
     temp_dir = args.output_dir
+    timer = StageTimer(profile_dir=getattr(args, "profile_dir", None))
     logger.info("vstrains-tpu pipeline started")
-
-    # ---- stage 1: parse + canonize ----
-    logger.info(">>>STAGE: parsing graph and contigs")
     t0 = time.time()
-    view = load_gfa_canonized(args.gfa_file, logger)
-    write_gfa(view, f"{temp_dir}/gfa/graph_L0.gfa", logger)
-    view0 = view.compact()
-    view0, idx_mapping = reindexing(view0)
-    write_gfa(view0, f"{temp_dir}/gfa/graph_L0r.gfa", logger)
+
+    resume_from = None
+    if getattr(args, "resume", False):
+        resume_from = ckpt.latest_stage(temp_dir)
+        logger.info("resume requested; latest checkpoint: %s", resume_from)
+
+    def done(stage: str) -> bool:
+        return (resume_from is not None
+                and _STAGE_ORDER[stage] <= _STAGE_ORDER[resume_from])
+
+    # ---- stage 1: parse + canonize (cheap; recomputed unless resuming) ----
+    if resume_from is None:
+        logger.info(">>>STAGE: parsing graph and contigs")
+        with timer.stage("parse+canonize", logger):
+            view = load_gfa_canonized(args.gfa_file, logger)
+            write_gfa(view, f"{temp_dir}/gfa/graph_L0.gfa", logger)
+            view0 = view.compact()
+            view0, idx_mapping = reindexing(view0)
+            write_gfa(view0, f"{temp_dir}/gfa/graph_L0r.gfa", logger)
+    else:
+        view0 = load_flipped_gfa(f"{temp_dir}/gfa/graph_L0r.gfa", logger)
+        idx_mapping = None  # restored from the contigs checkpoint below
 
     # ---- stage 2: threshold + contigs ----
-    if getattr(args, "min_cov", None) is not None:
-        threshold = args.min_cov
-        logger.info("user-defined node minimum coverage: %s", threshold)
+    if done("contigs"):
+        st = ckpt.load_stage(temp_dir, "contigs")
+        threshold = st["threshold"]
+        idx_mapping = st["idx_mapping"]
+        contig_dict = st["contig_dict"]
+        contig_info = st["contig_info"]
+        copy_contig_dict = st["copy_contig_dict"]
+        logger.info("resumed stage contigs (threshold=%s)", threshold)
     else:
-        dps = [v.dp for v in view0.graph.vertices()]
-        threshold = threshold_estimation(numpy.array(dps), logger)
-        logger.info("computed node minimum coverage: %s", threshold)
+        with timer.stage("threshold+contigs", logger):
+            if getattr(args, "min_cov", None) is not None:
+                threshold = args.min_cov
+                logger.info("user-defined node minimum coverage: %s",
+                            threshold)
+            else:
+                dps = [v.dp for v in view0.graph.vertices()]
+                threshold = threshold_estimation(numpy.array(dps), logger)
+                logger.info("computed node minimum coverage: %s", threshold)
 
-    contig_dict, contig_info = spades_paths_parser(
-        view0, idx_mapping, args.path_file,
-        getattr(args, "min_len", 250) or 250, threshold, logger)
-    copy_contig_dict = {cno: [list(contig), clen, ccov]
-                        for cno, [contig, clen, ccov] in contig_dict.items()}
-    contig_dict_to_path(contig_dict, f"{temp_dir}/tmp/init_contigs.paths")
-    contig_dict_to_fasta(view0, contig_dict,
-                         f"{temp_dir}/tmp/init_contigs.fasta")
+            contig_dict, contig_info = spades_paths_parser(
+                view0, idx_mapping, args.path_file,
+                getattr(args, "min_len", 250) or 250, threshold, logger)
+            copy_contig_dict = {
+                cno: [list(contig), clen, ccov]
+                for cno, [contig, clen, ccov] in contig_dict.items()}
+            contig_dict_to_path(contig_dict,
+                                f"{temp_dir}/tmp/init_contigs.paths")
+            contig_dict_to_fasta(view0, contig_dict,
+                                 f"{temp_dir}/tmp/init_contigs.fasta")
+            ckpt.save_stage(temp_dir, "contigs", {
+                "threshold": threshold, "idx_mapping": idx_mapping,
+                "contig_dict": contig_dict, "contig_info": contig_info,
+                "copy_contig_dict": copy_contig_dict})
 
     # ---- stage 3: preprocess ----
-    logger.info(">>>STAGE: preprocess")
-    graph_simplification(view0, None, threshold, logger)
-    write_gfa(view0, f"{temp_dir}/gfa/s_graph_L1.gfa", logger)
-    view1 = view0.compact()
+    if done("pe_links"):
+        view1 = load_flipped_gfa(f"{temp_dir}/gfa/s_graph_L1.gfa", logger)
+    else:
+        logger.info(">>>STAGE: preprocess")
+        with timer.stage("simplification", logger):
+            graph_simplification(view0, None, threshold, logger)
+            write_gfa(view0, f"{temp_dir}/gfa/s_graph_L1.gfa", logger)
+            view1 = view0.compact()
 
     # drop contigs that touch removed nodes
     for cno, [contig, _, _] in list(contig_dict.items()):
@@ -101,77 +148,117 @@ def run(args, logger: logging.Logger = None) -> int:
             logger.debug("unreliable contig with low coverage: %s", cno)
 
     # graph k-mer size = overlap of the first edge
-    if view1.num_edges() > 0:
-        ksize = next(iter(view1.edges.values())).overlap
-    else:
-        ksize = 0
+    ksize = (next(iter(view1.edges.values())).overlap
+             if view1.num_edges() > 0 else 0)
     logger.info("graph kmer size: %s", ksize)
     if ksize <= 0:
         raise PipelineError("invalid kmer-size, the graph does not contain "
                             "any edges")
 
     # ---- stage 4: PE-link inference (on-device) ----
-    logger.info(">>>STAGE: paired-end link inference")
-    t_pe = time.time()
-    ids = list(view1.nodes.keys())
-    seqs = [view1.nodes[i].seq for i in ids]
-    reads = load_read_pairs(args.fwd, args.rve, ksize + 1)
-    logger.info("reads: used=%d, with_N=%d, short=%d", reads.used_reads,
-                reads.n_reads, reads.short_reads)
-    pe_result = infer_pe_links(ids, seqs, reads, ksize,
-                               batch_size=getattr(args, "pe_batch_size",
-                                                  4096),
-                               logger=logger)
-    write_pe_files(pe_result, f"{temp_dir}/aln/pe_info",
-                   f"{temp_dir}/aln/st_info")
-    logger.info("paired end information stored (%.2fs)", time.time() - t_pe)
-    pe_info, dcpy_pe_info = pe_info_from_result(view1.nodes.keys(),
-                                                pe_result)
+    if done("pe_links"):
+        st = ckpt.load_stage(temp_dir, "pe_links")
+        pe_info = st["pe_info"]
+        dcpy_pe_info = st["dcpy_pe_info"]
+        logger.info("resumed stage pe_links (%d pairs)", len(pe_info))
+    else:
+        logger.info(">>>STAGE: paired-end link inference")
+        with timer.stage("pe_inference", logger):
+            ids = list(view1.nodes.keys())
+            seqs = [view1.nodes[i].seq for i in ids]
+            reads = load_read_pairs(args.fwd, args.rve, ksize + 1)
+            logger.info("reads: used=%d, with_N=%d, short=%d",
+                        reads.used_reads, reads.n_reads, reads.short_reads)
+            pe_result = infer_pe_links(
+                ids, seqs, reads, ksize,
+                batch_size=getattr(args, "pe_batch_size", 8192),
+                logger=logger)
+            write_pe_files(pe_result, f"{temp_dir}/aln/pe_info",
+                           f"{temp_dir}/aln/st_info")
+            logger.info("paired end information stored")
+            pe_info, dcpy_pe_info = pe_info_from_result(view1.nodes.keys(),
+                                                        pe_result)
+            ckpt.save_stage(temp_dir, "pe_links", {
+                "pe_info": pe_info, "dcpy_pe_info": dcpy_pe_info})
 
     # ---- stage 5: edge cleaning ----
-    edge_cleaning(view1, contig_dict, pe_info, logger)
-    view2 = store_reinit_graph(view1, f"{temp_dir}/gfa/es_graph_L2.gfa",
-                               logger)
-    contig_dict_to_path(contig_dict, f"{temp_dir}/tmp/pre_contigs.paths")
-    contig_dict_to_fasta(view2, contig_dict,
-                         f"{temp_dir}/tmp/pre_contigs.fasta")
+    if done("cleaned"):
+        st = ckpt.load_stage(temp_dir, "cleaned")
+        contig_dict = st["contig_dict"]
+        pe_info = st["pe_info"]
+        view2 = load_flipped_gfa(f"{temp_dir}/gfa/es_graph_L2.gfa", logger)
+        assign_edge_flow(view2)
+    else:
+        with timer.stage("edge_cleaning", logger):
+            edge_cleaning(view1, contig_dict, pe_info, logger)
+            view2 = store_reinit_graph(
+                view1, f"{temp_dir}/gfa/es_graph_L2.gfa", logger)
+            contig_dict_to_path(contig_dict,
+                                f"{temp_dir}/tmp/pre_contigs.paths")
+            contig_dict_to_fasta(view2, contig_dict,
+                                 f"{temp_dir}/tmp/pre_contigs.fasta")
+            ckpt.save_stage(temp_dir, "cleaned", {
+                "contig_dict": contig_dict, "pe_info": pe_info})
 
     # ---- stage 6: disentanglement ----
-    logger.info(">>>STAGE: graph disentanglement")
-    delta = 0.05 * float(numpy.median(
-        [v.dp for v in view2.graph.vertices()]))
-    viewf = iter_graph_disentanglement(view2, contig_dict, pe_info, delta,
-                                       temp_dir, logger)
-    contig_dict_to_path(contig_dict, f"{temp_dir}/tmp/post_contigs.paths")
-    contig_dict_to_fasta(viewf, contig_dict,
-                         f"{temp_dir}/tmp/post_contigs.fasta")
+    if done("disentangled"):
+        st = ckpt.load_stage(temp_dir, "disentangled")
+        contig_dict = st["contig_dict"]
+        pe_info = st["pe_info"]
+        viewf = load_flipped_gfa(f"{temp_dir}/gfa/ckpt_disentangled.gfa",
+                                 logger)
+        assign_edge_flow(viewf)
+    else:
+        logger.info(">>>STAGE: graph disentanglement")
+        with timer.stage("disentanglement", logger):
+            delta = 0.05 * float(numpy.median(
+                [v.dp for v in view2.graph.vertices()]))
+            viewf = iter_graph_disentanglement(view2, contig_dict, pe_info,
+                                               delta, temp_dir, logger)
+            contig_dict_to_path(contig_dict,
+                                f"{temp_dir}/tmp/post_contigs.paths")
+            contig_dict_to_fasta(viewf, contig_dict,
+                                 f"{temp_dir}/tmp/post_contigs.fasta")
+            write_gfa(viewf, f"{temp_dir}/gfa/ckpt_disentangled.gfa")
+            ckpt.save_stage(temp_dir, "disentangled", {
+                "contig_dict": contig_dict, "pe_info": pe_info})
 
-    # ---- stage 7: link refinement + extension ----
-    logger.info(">>>STAGE: contig path extension")
-    full_link = best_matching(viewf, contig_dict, pe_info, logger)
-    increment_nt_branch_coverage(viewf, logger)
-    write_gfa(viewf, f"{temp_dir}/gfa/split_graph_final.gfa", logger)
+    # ---- stage 7+8: link refinement + extension ----
+    if done("extended"):
+        st = ckpt.load_stage(temp_dir, "extended")
+        strain_dict = st["strain_dict"]
+    else:
+        logger.info(">>>STAGE: contig path extension")
+        with timer.stage("extension", logger):
+            full_link = best_matching(viewf, contig_dict, pe_info, logger)
+            increment_nt_branch_coverage(viewf, logger)
+            write_gfa(viewf, f"{temp_dir}/gfa/split_graph_final.gfa",
+                      logger)
+            p_delta = 0.05 * float(numpy.median(
+                [v.dp for v in viewf.graph.vertices()]))
+            strain_dict, usages, viewf = path_extension(
+                viewf, contig_dict, full_link, dcpy_pe_info, p_delta,
+                temp_dir, logger)
+            ckpt.save_stage(temp_dir, "extended",
+                            {"strain_dict": strain_dict})
 
-    p_delta = 0.05 * float(numpy.median(
-        [v.dp for v in viewf.graph.vertices()]))
-    strain_dict, usages, viewf = path_extension(
-        viewf, contig_dict, full_link, dcpy_pe_info, p_delta, temp_dir,
-        logger)
-
-    # ---- stage 8: finalize ----
+    # ---- stage 9: finalize ----
     logger.info(">>>STAGE: final process")
-    contig_resolve(strain_dict)
-    viewl = load_flipped_gfa(f"{temp_dir}/gfa/es_graph_L2.gfa", logger)
-    trim_contig_dict(viewl, strain_dict, logger)
-    contig_dup_removed_s(strain_dict, logger)
-    contig_dict_to_path(strain_dict, f"{temp_dir}/tmp/tmp_strain.paths",
-                        None, False)
-    strain_repeat_resol(view0, strain_dict, contig_info, copy_contig_dict,
-                        logger)
+    with timer.stage("finalize", logger):
+        contig_resolve(strain_dict)
+        viewl = load_flipped_gfa(f"{temp_dir}/gfa/es_graph_L2.gfa", logger)
+        trim_contig_dict(viewl, strain_dict, logger)
+        contig_dup_removed_s(strain_dict, logger)
+        contig_dict_to_path(strain_dict,
+                            f"{temp_dir}/tmp/tmp_strain.paths", None, False)
+        strain_repeat_resol(view0, strain_dict, contig_info,
+                            copy_contig_dict, logger)
 
-    logger.info(">>>STAGE: generate result")
-    contig_dict_to_fasta(view0, strain_dict, f"{temp_dir}/strain.fasta")
-    contig_dict_to_path(strain_dict, f"{temp_dir}/strain.paths",
-                        idx_mapping, True)
+        logger.info(">>>STAGE: generate result")
+        contig_dict_to_fasta(view0, strain_dict,
+                             f"{temp_dir}/strain.fasta")
+        contig_dict_to_path(strain_dict, f"{temp_dir}/strain.paths",
+                            idx_mapping, True)
+    timer.dump(f"{temp_dir}/timings.json")
     logger.info("vstrains-tpu finished in %.2fs", time.time() - t0)
     return 0
