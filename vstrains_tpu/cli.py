@@ -50,7 +50,7 @@ def build_parser() -> argparse.ArgumentParser:
                         type=str,
                         help="paired-end reads, reverse strand (.fastq)")
     parser.add_argument("--pe-batch-size", dest="pe_batch_size",
-                        default=8192, type=int, help=argparse.SUPPRESS)
+                        default=16384, type=int, help=argparse.SUPPRESS)
     parser.add_argument("--resume", dest="resume", action="store_true",
                         default=False,
                         help="resume from the last completed stage "

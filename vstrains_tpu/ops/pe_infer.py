@@ -406,7 +406,7 @@ class PEResult:
 
 def infer_pe_links(ids: Sequence[str], seqs: Sequence[str],
                    reads: ReadPairBatch, kmer_size: int,
-                   batch_size: int = 8192,
+                   batch_size: int = 16384,
                    probe_mode: str = "sort",
                    logger: logging.Logger = None) -> PEResult:
     """End-to-end PE-link inference for pre-loaded reads.

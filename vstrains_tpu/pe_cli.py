@@ -1,0 +1,79 @@
+"""Standalone PE-link inference CLI.
+
+Drop-in interface parity with the reference's child process
+(/root/reference/utils/VStrains_PE_Inference.py:51-216):
+
+    python -m vstrains_tpu.pe_cli -g GFA -o DIR -f FWD -r RVE -k K
+
+reads the canonized GFA's S-lines in file order, runs the on-device
+engine, and writes `DIR/pe_info` + `DIR/st_info` in the same
+N^2-line `u:v:count` format. The reference pipeline shells this out
+(VStrains_SPAdes.py:119-132); our pipeline calls the engine in-process and
+keeps this CLI for interoperability and for driving multi-host runs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import sys
+import time
+
+
+def main(argv=None) -> int:
+    print("----------------------Paired-End Information Alignment"
+          "----------------------")
+    parser = argparse.ArgumentParser(
+        prog="pe_info",
+        description="Align paired-end reads to graph nodes to obtain "
+                    "strong links (TPU engine)")
+    parser.add_argument("-g", "--gfa", dest="gfa", type=str, required=True,
+                        help="graph, .gfa format")
+    parser.add_argument("-o", "--output_dir", dest="dir", type=str,
+                        required=True, help="output directory")
+    parser.add_argument("-f", "--forward", dest="fwd", required=True,
+                        help="forward read, .fastq")
+    parser.add_argument("-r", "--reverse", dest="rve", required=True,
+                        help="reverse read, .fastq")
+    parser.add_argument("-k", "--kmer_size", dest="kmer_size", type=int,
+                        default=128, help="unique kmer size")
+    parser.add_argument("--batch-size", dest="batch_size", type=int,
+                        default=8192)
+    args = parser.parse_args(argv)
+
+    out_dir = args.dir.rstrip("/")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    glb_start = time.time()
+
+    # S-lines in file order (reference: PE_Inference.py:105-112)
+    index2id = []
+    index2seq = []
+    with open(args.gfa, "r") as gfa:
+        for line in gfa:
+            fields = line.rstrip("\n").split("\t")
+            if fields and fields[0] == "S":
+                index2id.append(fields[1])
+                index2seq.append(fields[2])
+
+    from vstrains_tpu.core.fastq import load_read_pairs
+    from vstrains_tpu.ops.pe_infer import infer_pe_links, write_pe_files
+
+    split_len = args.kmer_size + 1
+    print("Start aligning reads to gfa nodes")
+    reads = load_read_pairs(args.fwd, args.rve, split_len)
+    print(f"reads: used={reads.used_reads}, with_N={reads.n_reads}, "
+          f"short={reads.short_reads}")
+    result = infer_pe_links(index2id, index2seq, reads, args.kmer_size,
+                            batch_size=args.batch_size)
+    write_pe_files(result, f"{out_dir}/pe_info", f"{out_dir}/st_info")
+
+    print("Global time elapsed: ", time.time() - glb_start)
+    print("result stored in: ", f"{out_dir}/pe_info")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -126,6 +126,10 @@ def run(args, logger: logging.Logger = None) -> int:
                                 f"{temp_dir}/tmp/init_contigs.paths")
             contig_dict_to_fasta(view0, contig_dict,
                                  f"{temp_dir}/tmp/init_contigs.fasta")
+            if getattr(args, "ref_file", None):
+                from vstrains_tpu.evals.refmap import map_ref_to_contig
+                map_ref_to_contig(contig_dict, view0, args.ref_file,
+                                  logger)
             ckpt.save_stage(temp_dir, "contigs", {
                 "threshold": threshold, "idx_mapping": idx_mapping,
                 "contig_dict": contig_dict, "contig_info": contig_info,
@@ -171,7 +175,7 @@ def run(args, logger: logging.Logger = None) -> int:
                         reads.used_reads, reads.n_reads, reads.short_reads)
             pe_result = infer_pe_links(
                 ids, seqs, reads, ksize,
-                batch_size=getattr(args, "pe_batch_size", 8192),
+                batch_size=getattr(args, "pe_batch_size", 16384),
                 logger=logger)
             write_pe_files(pe_result, f"{temp_dir}/aln/pe_info",
                            f"{temp_dir}/aln/st_info")
@@ -197,6 +201,12 @@ def run(args, logger: logging.Logger = None) -> int:
                                 f"{temp_dir}/tmp/pre_contigs.paths")
             contig_dict_to_fasta(view2, contig_dict,
                                  f"{temp_dir}/tmp/pre_contigs.fasta")
+            if getattr(args, "ref_file", None):
+                from vstrains_tpu.evals.refmap import (map_ref_to_contig,
+                                                       map_ref_to_graph)
+                map_ref_to_graph(args.ref_file, view2, logger)
+                map_ref_to_contig(contig_dict, view2, args.ref_file,
+                                  logger)
             ckpt.save_stage(temp_dir, "cleaned", {
                 "contig_dict": contig_dict, "pe_info": pe_info})
 
@@ -219,6 +229,12 @@ def run(args, logger: logging.Logger = None) -> int:
                                 f"{temp_dir}/tmp/post_contigs.paths")
             contig_dict_to_fasta(viewf, contig_dict,
                                  f"{temp_dir}/tmp/post_contigs.fasta")
+            if getattr(args, "ref_file", None):
+                from vstrains_tpu.evals.refmap import (map_ref_to_contig,
+                                                       map_ref_to_graph)
+                map_ref_to_graph(args.ref_file, viewf, logger)
+                map_ref_to_contig(contig_dict, viewf, args.ref_file,
+                                  logger)
             write_gfa(viewf, f"{temp_dir}/gfa/ckpt_disentangled.gfa")
             ckpt.save_stage(temp_dir, "disentangled", {
                 "contig_dict": contig_dict, "pe_info": pe_info})
@@ -259,6 +275,9 @@ def run(args, logger: logging.Logger = None) -> int:
                              f"{temp_dir}/strain.fasta")
         contig_dict_to_path(strain_dict, f"{temp_dir}/strain.paths",
                             idx_mapping, True)
+        if getattr(args, "ref_file", None):
+            from vstrains_tpu.evals.refmap import strain_accuracy
+            strain_accuracy(strain_dict, view0, args.ref_file, logger)
     timer.dump(f"{temp_dir}/timings.json")
     logger.info("vstrains-tpu finished in %.2fs", time.time() - t0)
     return 0
