@@ -1,0 +1,62 @@
+"""Per-component parallel extraction on a multi-component graph."""
+
+import logging
+import os
+from types import SimpleNamespace
+
+import pytest
+
+from vstrains_tpu import pipeline
+from vstrains_tpu.core.graph import new_view
+from vstrains_tpu.evals.synth import make_multi_component_dataset
+from vstrains_tpu.parallel.components import weakly_connected_components
+
+_LOG = logging.getLogger("components")
+
+
+def test_weakly_connected_components():
+    v = new_view()
+    a = v.add_vertex("a", 1.0, "AA")
+    b = v.add_vertex("b", 1.0, "CC")
+    c = v.add_vertex("c", 1.0, "GG")
+    d = v.add_vertex("d", 1.0, "TT")
+    v.add_edge(a, b, 0)
+    v.add_edge(d, c, 0)
+    comps = weakly_connected_components(v)
+    assert comps == [["a", "b"], ["c", "d"]]
+
+
+def _read_fasta(path):
+    seqs = {}
+    name = None
+    with open(path) as fh:
+        for line in fh:
+            line = line.strip()
+            if line.startswith(">"):
+                name = line[1:]
+                seqs[name] = ""
+            elif line and name is not None:
+                seqs[name] += line
+    return seqs
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("workers", [1, 2])
+def test_multicomponent_recovery(tmp_path, workers):
+    ds = make_multi_component_dataset(
+        str(tmp_path / "data"), n_components=2, num_strains=2,
+        num_bubbles=2, pairs_per_strain=300, seed=31)
+    out = tmp_path / f"out{workers}"
+    for sub in ["gfa", "tmp", "paf", "aln"]:
+        os.makedirs(out / sub)
+    args = SimpleNamespace(
+        gfa_file=ds.gfa_path, path_file=ds.paths_path,
+        fwd=ds.fwd_path, rve=ds.rve_path,
+        output_dir=str(out), min_cov=None, min_len=250, dev=False,
+        pe_batch_size=256, resume=False, per_component=True,
+        component_workers=workers)
+    pipeline.run(args, _LOG)
+    seqs = _read_fasta(out / "strain.fasta")
+    recovered = set(seqs.values())
+    hits = sum(1 for hap in ds.true_haplotypes if hap in recovered)
+    assert hits == 4, f"only {hits}/4 haplotypes reconstructed"

@@ -40,3 +40,33 @@ def test_sp_window_hashes_match_host(eight_devices):
     np.testing.assert_array_equal(valid, ev)
     np.testing.assert_array_equal(h1, e1)
     np.testing.assert_array_equal(h2, e2)
+
+
+def test_multihost_degrades_to_sharded(eight_devices):
+    """Single-process multihost path == plain sharded path."""
+    from vstrains_tpu.parallel.distributed import (host_read_stripe,
+                                                   infer_pe_links_multihost)
+    rng = np.random.RandomState(23)
+    k = 11
+    refs = _random_refs(rng, 4, [70, 90, 110, 130])
+    fwd, rve = _sample_reads(rng, refs, 64, 35, k)
+    batch = _make_batch(fwd, rve, k + 1)
+    ids = [str(i) for i in range(4)]
+    serial = infer_pe_links(ids, refs, batch, k, batch_size=32)
+    multi = infer_pe_links_multihost(ids, refs, batch, k, model=2,
+                                     batch_size=32)
+    np.testing.assert_array_equal(serial.node_mat, multi.node_mat)
+    np.testing.assert_array_equal(serial.short_mat, multi.short_mat)
+
+
+def test_host_read_stripe_partition(tmp_path):
+    from vstrains_tpu.parallel.distributed import host_read_stripe
+    fq1 = tmp_path / "r1.fq"
+    fq2 = tmp_path / "r2.fq"
+    with open(fq1, "w") as a, open(fq2, "w") as b:
+        for i in range(10):
+            a.write(f"@r{i}\nACGTACGTACGT\n+\nIIIIIIIIIIII\n")
+            b.write(f"@r{i}\nTGCATGCATGCA\n+\nIIIIIIIIIIII\n")
+    stripes = [host_read_stripe(str(fq1), str(fq2), 6, pid, 3)
+               for pid in range(3)]
+    assert [s.num_pairs for s in stripes] == [4, 4, 2]

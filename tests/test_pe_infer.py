@@ -128,3 +128,20 @@ def test_kmer_table_palindrome_double_entry():
     assert table.num_entries == 2
     assert table.node.tolist() == [0, 0]
     assert table.offset.tolist() == [0, 0]
+
+
+def test_process_pe_info_files_match_inmemory(tmp_path):
+    """File round-trip (reference loader contract) == in-memory path."""
+    from vstrains_tpu.ops.pe_infer import process_pe_info, write_pe_files
+    rng = np.random.RandomState(9)
+    k = 11
+    refs = _random_refs(rng, 3, [60, 70, 80])
+    fwd, rve = _sample_reads(rng, refs, 40, 30, k)
+    batch = _make_batch(fwd, rve, k + 1)
+    ids = ["a", "b", "c"]
+    res = infer_pe_links(ids, refs, batch, k)
+    write_pe_files(res, str(tmp_path / "pe_info"), str(tmp_path / "st_info"))
+    mem, mem_d = pe_info_from_result(ids, res)
+    filed, filed_d = process_pe_info(ids, str(tmp_path / "pe_info"),
+                                     str(tmp_path / "st_info"))
+    assert mem == filed and mem_d == filed_d

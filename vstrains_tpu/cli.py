@@ -57,6 +57,15 @@ def build_parser() -> argparse.ArgumentParser:
                              "checkpoint in the output directory")
     parser.add_argument("--profile-dir", dest="profile_dir", default=None,
                         type=str, help=argparse.SUPPRESS)
+    parser.add_argument("--per-component", dest="per_component",
+                        action="store_true", default=False,
+                        help="disentangle/extend weakly-connected graph "
+                             "components independently (metaSPAdes "
+                             "multi-component graphs)")
+    parser.add_argument("--component-workers", dest="component_workers",
+                        default=1, type=int,
+                        help="worker processes for per-component "
+                             "extraction")
     return parser
 
 

@@ -184,3 +184,68 @@ def make_dataset(out_dir: str,
 
     return SynthDataset(gfa_path, paths_path, fwd_path, rve_path,
                         true_haps, node_names, k)
+
+
+def make_multi_component_dataset(out_dir: str, n_components: int = 2,
+                                 seed: int = 0,
+                                 **kwargs) -> SynthDataset:
+    """metaSPAdes-style multi-component mixture: n independent viral
+    samples merged into one GFA / contigs.paths / read set, with disjoint
+    node namespaces (BASELINE.json config 5)."""
+    os.makedirs(out_dir, exist_ok=True)
+    sub = []
+    for ci in range(n_components):
+        d = os.path.join(out_dir, f"comp{ci}")
+        sub.append(make_dataset(d, seed=seed + 17 * ci, **kwargs))
+
+    gfa_path = os.path.join(out_dir, "assembly_graph_after_simplification.gfa")
+    paths_path = os.path.join(out_dir, "contigs.paths")
+    fwd_path = os.path.join(out_dir, "reads_1.fastq")
+    rve_path = os.path.join(out_dir, "reads_2.fastq")
+
+    def off_name(name: str, ci: int) -> str:
+        return str(int(name) + 1000 * ci)
+
+    all_names: List[str] = []
+    all_haps: List[str] = []
+    with open(gfa_path, "w") as g:
+        for ci, ds in enumerate(sub):
+            with open(ds.gfa_path) as f:
+                for line in f:
+                    fields = line.rstrip("\n").split("\t")
+                    if fields[0] == "S":
+                        fields[1] = off_name(fields[1], ci)
+                        all_names.append(fields[1])
+                    elif fields[0] == "L":
+                        fields[1] = off_name(fields[1], ci)
+                        fields[3] = off_name(fields[3], ci)
+                    g.write("\t".join(fields) + "\n")
+            all_haps.extend(ds.true_haplotypes)
+
+    with open(paths_path, "w") as p:
+        cno_off = 0
+        for ci, ds in enumerate(sub):
+            max_cno = 0
+            with open(ds.paths_path) as f:
+                for line in f:
+                    if line.startswith("NODE_"):
+                        parts = line.split("_")
+                        cno = int(parts[1])
+                        max_cno = max(max_cno, cno)
+                        parts[1] = str(cno + cno_off)
+                        p.write("_".join(parts))
+                    else:
+                        nodes = line.strip().split(",")
+                        renamed = [off_name(n[:-1], ci) + n[-1]
+                                   for n in nodes]
+                        p.write(",".join(renamed) + "\n")
+            cno_off += max_cno
+
+    for out, attr in ((fwd_path, "fwd_path"), (rve_path, "rve_path")):
+        with open(out, "wb") as o:
+            for ds in sub:
+                with open(getattr(ds, attr), "rb") as f:
+                    o.write(f.read())
+
+    return SynthDataset(gfa_path, paths_path, fwd_path, rve_path,
+                        all_haps, all_names, sub[0].k)

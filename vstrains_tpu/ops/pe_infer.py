@@ -498,6 +498,31 @@ def write_pe_files(result: PEResult, pe_path: str, st_path: str) -> None:
                 f_st.write(f"{ids[i]}:{ids[j]}:{result.short_mat[i][j]}\n")
 
 
+def process_pe_info(node_ids: Sequence[str], pe_info_file: str,
+                    st_info_file: str):
+    """File-based PE-info loader — full parity with the reference
+    (/root/reference/utils/VStrains_IO.py:598-627), for interoperating
+    with files produced by either engine. Returns (pe_info, dcpy)."""
+    pe_info = {}
+    node_ids = list(node_ids)
+    for u in node_ids:
+        for v in node_ids:
+            pe_info[(min(u, v), max(u, v))] = 0
+    for path in (pe_info_file, st_info_file):
+        with open(path, "r") as fh:
+            for line in fh:
+                if line == "\n":
+                    break
+                parts = line[:-1].split(":")[:3]
+                if len(parts) < 3:
+                    continue
+                u, v, mark = parts
+                key = (min(u, v), max(u, v))
+                if key in pe_info:
+                    pe_info[key] += int(mark)
+    return pe_info, dict(pe_info)
+
+
 def pe_info_from_result(node_ids: Sequence[str], result: PEResult):
     """Symmetric pe_info dict keyed by lexicographic (min,max) id pairs,
     summing PE and single-strand counts — same contract as process_pe_info

@@ -1,0 +1,122 @@
+"""Multi-host (multi-process) scaling over DCN + ICI.
+
+The reference has no distributed backend at all (SURVEY.md §2); this is
+the new multi-host design:
+
+  * every host runs the same program under `jax.distributed`
+    (coordinator address from env or args — standard multi-controller
+    JAX);
+  * the graph and k-mer table are replicated per host (they are tiny:
+    viral genomes);
+  * each host loads a disjoint stripe of the read pairs (contiguous
+    blocks by process index — no cross-host read shuffling needed since
+    integer accumulation is order-invariant);
+  * the global mesh spans all hosts' devices on the `data` axis (and
+    optionally `model` within each host); the single psum at the end of
+    the PE step merges per-chip matrices over ICI within a host and DCN
+    across hosts — bit-identical to the serial loop.
+
+Single-process runs degrade to parallel.mesh.infer_pe_links_sharded.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+
+import jax
+
+from vstrains_tpu.core.fastq import ReadPairBatch, load_read_pairs
+from vstrains_tpu.ops.pe_infer import PEResult
+from vstrains_tpu.parallel.mesh import infer_pe_links_sharded, make_mesh
+
+_LOG = logging.getLogger(__name__)
+
+
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None,
+                     logger: logging.Logger = None) -> int:
+    """Initialize multi-controller JAX. No-ops for single-process runs.
+
+    Arguments default to the standard env vars
+    (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID, or a
+    TPU pod's automatic configuration). Returns the process index.
+    """
+    logger = logger or _LOG
+    coordinator_address = (coordinator_address
+                          or os.environ.get("JAX_COORDINATOR_ADDRESS"))
+    if num_processes is None:
+        env = os.environ.get("JAX_NUM_PROCESSES")
+        num_processes = int(env) if env else None
+    if process_id is None:
+        env = os.environ.get("JAX_PROCESS_ID")
+        process_id = int(env) if env else None
+    if coordinator_address or (num_processes and num_processes > 1):
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id)
+        logger.info("jax.distributed: process %d/%d, %d/%d local devices",
+                    jax.process_index(), jax.process_count(),
+                    jax.local_device_count(), jax.device_count())
+    return jax.process_index()
+
+
+def host_read_stripe(fwd_path: str, rve_path: str, split_len: int,
+                     process_id: int, process_count: int) -> ReadPairBatch:
+    """This host's contiguous stripe of the usable read pairs.
+
+    Loading happens host-side then slicing by stripe; for truly huge
+    FASTQs, pre-split the files per host and pass per-host paths instead.
+    """
+    batch = load_read_pairs(fwd_path, rve_path, split_len)
+    n = batch.num_pairs
+    per = -(-n // process_count)
+    lo = process_id * per
+    hi = min(lo + per, n)
+    return ReadPairBatch(
+        batch.fwd_codes[lo:hi], batch.fwd_len[lo:hi],
+        batch.rve_codes[lo:hi], batch.rve_len[lo:hi],
+        batch.n_reads, batch.short_reads, hi - lo)
+
+
+def infer_pe_links_multihost(ids: Sequence[str], seqs: Sequence[str],
+                             local_reads: ReadPairBatch, kmer_size: int,
+                             model: int = 1,
+                             batch_size: int = 16384,
+                             logger: logging.Logger = None) -> PEResult:
+    """PE-link inference over all hosts' devices.
+
+    `local_reads` is this host's stripe. Per-host partial matrices are
+    computed with the DPxTP sharded step over the *local* devices, then
+    all-reduced across processes (integer sums — order-free). This
+    two-level merge (ICI psum inside the step, DCN allreduce across
+    hosts) matches the north-star design and avoids constructing global
+    arrays from per-host data.
+    """
+    logger = logger or _LOG
+    n_local = jax.local_device_count()
+    mesh = make_mesh(data=n_local // model, model=model,
+                     devices=jax.local_devices())
+    local = infer_pe_links_sharded(ids, seqs, local_reads, kmer_size,
+                                   mesh, batch_size=batch_size,
+                                   logger=logger)
+    if jax.process_count() == 1:
+        return local
+
+    # DCN merge: sum the int64 host matrices across processes
+    import jax.numpy as jnp
+    from jax.experimental.multihost_utils import process_allgather
+
+    gathered_nm = process_allgather(
+        jnp.asarray(local.node_mat, dtype=jnp.int32))
+    gathered_sm = process_allgather(
+        jnp.asarray(local.short_mat, dtype=jnp.int32))
+    node_mat = np.asarray(gathered_nm, dtype=np.int64).sum(axis=0)
+    short_mat = np.asarray(gathered_sm, dtype=np.int64).sum(axis=0)
+    return PEResult(list(ids), node_mat, short_mat, local.n_reads,
+                    local.short_reads, local.used_reads)

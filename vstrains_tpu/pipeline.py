@@ -210,8 +210,30 @@ def run(args, logger: logging.Logger = None) -> int:
             ckpt.save_stage(temp_dir, "cleaned", {
                 "contig_dict": contig_dict, "pe_info": pe_info})
 
+    # ---- per-component fast path (metaSPAdes multi-component graphs) ----
+    mono = True
+    if getattr(args, "per_component", False) and not done("extended"):
+        from vstrains_tpu.parallel.components import (
+            run_components, weakly_connected_components)
+        n_comp = len(weakly_connected_components(view2))
+        if n_comp > 1:
+            mono = False
+            logger.info(">>>STAGE: per-component disentanglement + "
+                        "extension (%d components)", n_comp)
+            with timer.stage("per_component_extraction", logger):
+                delta = 0.05 * float(numpy.median(
+                    [v.dp for v in view2.graph.vertices()]))
+                strain_dict = run_components(
+                    view2, contig_dict, pe_info, dcpy_pe_info, delta,
+                    workers=getattr(args, "component_workers", 1) or 1,
+                    logger=logger)
+                ckpt.save_stage(temp_dir, "extended",
+                                {"strain_dict": strain_dict})
+
     # ---- stage 6: disentanglement ----
-    if done("disentangled"):
+    if not mono:
+        pass
+    elif done("disentangled"):
         st = ckpt.load_stage(temp_dir, "disentangled")
         contig_dict = st["contig_dict"]
         pe_info = st["pe_info"]
@@ -240,7 +262,9 @@ def run(args, logger: logging.Logger = None) -> int:
                 "contig_dict": contig_dict, "pe_info": pe_info})
 
     # ---- stage 7+8: link refinement + extension ----
-    if done("extended"):
+    if not mono:
+        pass  # strain_dict already produced per component
+    elif done("extended"):
         st = ckpt.load_stage(temp_dir, "extended")
         strain_dict = st["strain_dict"]
     else:
