@@ -1,0 +1,168 @@
+"""Pallas TPU kernels for the PE-engine hot ops.
+
+Two kernels ship today, both drop-in equivalents of their XLA
+counterparts in ops/pe_infer.py and auto-benchmarked against them
+(tools/kernel_bench.py):
+
+  * window_hashes_pallas — the dual-lane rolling (k+1)-mer hash over a
+    read block: streams code tiles through VMEM, unrolls the L-step
+    polynomial accumulation on the VPU;
+  * pair_matmuls_pallas — saturation-mask pair counting on the MXU with
+    the upper-triangle mask fused into the same kernel (the XLA version
+    materializes `same` then masks).
+
+Why there is no Pallas probe kernel: the probe needs arbitrary per-lane
+gathers from a VMEM-resident table; Mosaic on this toolchain only lowers
+2-D aligned gathers (`take_along_axis` shapes), so a vectorized binary
+search cannot be expressed — measured alternatives and the sort-merge-join
+decision are documented in docs/ARCHITECTURE.md.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vstrains_tpu.core.seq import HASH_MULT_1, HASH_MULT_2, _mult_pows
+
+
+def _hash_kernel(codes_ref, lens_ref, h1_ref, h2_ref, valid_ref, *,
+                 split_len: int, K: int, Kp: int, pow1, pow2):
+    codes = codes_ref[:].astype(jnp.int32)  # v5e lacks i8 vector compares
+    B, T = codes.shape
+    c = jnp.where(codes < 4, codes, 0).astype(jnp.uint32) + jnp.uint32(1)
+    h1 = jnp.zeros((B, K), jnp.uint32)
+    h2 = jnp.zeros((B, K), jnp.uint32)
+    for i in range(split_len):
+        ci = c[:, i: i + K]
+        h1 = h1 + ci * jnp.uint32(int(pow1[i]))
+        h2 = h2 + ci * jnp.uint32(int(pow2[i]))
+    win = jax.lax.broadcasted_iota(jnp.int32, (B, Kp), 1)
+    lens = lens_ref[:]
+    valid = ((win + split_len) <= lens[:, :1]) & (win < K)
+    pad = [(0, 0), (0, Kp - K)]
+    # bias h1 into signed order (the sort-join key domain); h2 raw bitcast
+    h1_ref[:] = jnp.pad((h1 ^ jnp.uint32(0x80000000)).astype(jnp.int32),
+                        pad)
+    h2_ref[:] = jnp.pad(h2.astype(jnp.int32), pad)
+    valid_ref[:] = valid.astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("split_len", "block", "interpret"))
+def window_hashes_pallas(codes, lens, split_len: int, block: int = 128,
+                         interpret: bool = False):
+    """Dual 32-bit window hashes of a read batch.
+
+    codes: uint8 [B, T]; lens: int32 [B]. Returns (h1_biased, h2, valid)
+    of shape [B, Kp] where Kp = K rounded up to the 128-lane boundary
+    (extra windows marked invalid); h1 carries the sort-join sign bias
+    (h1 ^ 0x80000000 as int32). The first K columns match
+    ops.pe_infer._device_window_hashes bit-for-bit (after bias).
+    """
+    B, T = codes.shape
+    K = T - split_len + 1
+    Kp = -(-K // 128) * 128  # lane-aligned output width
+    pow1 = _mult_pows(HASH_MULT_1, split_len)[::-1].copy()
+    pow2 = _mult_pows(HASH_MULT_2, split_len)[::-1].copy()
+    grid = (max(1, B // block),)
+    kernel = partial(_hash_kernel, split_len=split_len, K=K, Kp=Kp,
+                     pow1=pow1, pow2=pow2)
+    lens2 = lens.reshape(B, 1)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, Kp), jnp.int32),
+            jax.ShapeDtypeStruct((B, Kp), jnp.int32),
+            jax.ShapeDtypeStruct((B, Kp), jnp.int32),
+        ),
+        in_specs=[
+            pl.BlockSpec((block, T), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((block, Kp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, Kp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, Kp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(codes, lens2)
+
+
+def _pair_kernel(f_ref, r_ref, nm_ref, sm_ref, nm_acc, same_acc):
+    i = pl.program_id(0)
+    n_blocks = pl.num_programs(0)
+    f = f_ref[:]
+    r = r_ref[:]
+
+    @pl.when(i == 0)
+    def _():
+        nm_acc[:] = jnp.zeros_like(nm_acc)
+        same_acc[:] = jnp.zeros_like(same_acc)
+
+    nm_acc[:] += jax.lax.dot_general(
+        f, r, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    same_acc[:] += (
+        jax.lax.dot_general(f, f, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+        + jax.lax.dot_general(r, r, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32))
+
+    @pl.when(i == n_blocks - 1)
+    def _():
+        N = nm_acc.shape[0]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (N, N), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
+        nm_ref[:] = nm_acc[:].astype(jnp.int32)
+        sm_ref[:] = jnp.where(rows <= cols, same_acc[:],
+                              0.0).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("block", "interpret"))
+def pair_matmuls_pallas(f, r, block: int = 2048, interpret: bool = False):
+    """node_mat = f^T r ; short_mat = triu(f^T f + r^T r), fused on MXU
+    with f32 VMEM accumulators over B-blocks.
+
+    f, r: float32 [B, N] saturation masks (0/1). Equals
+    ops.pe_infer._pair_matmuls exactly (0/1 entries, exact in f32).
+    """
+    B, N = f.shape
+    block = min(block, B)
+    grid = (max(1, B // block),)
+    return pl.pallas_call(
+        _pair_kernel,
+        grid=grid,
+        out_shape=(
+            jax.ShapeDtypeStruct((N, N), jnp.int32),
+            jax.ShapeDtypeStruct((N, N), jnp.int32),
+        ),
+        in_specs=[
+            pl.BlockSpec((block, N), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, N), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((N, N), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, N), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((N, N), jnp.float32),
+            pltpu.VMEM((N, N), jnp.float32),
+        ],
+        interpret=interpret,
+    )(f, r)

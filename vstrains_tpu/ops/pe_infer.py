@@ -297,6 +297,23 @@ def _hash_join_kernel(codes, lens, tab_h1, split_len: int):
     return q1, h2q.astype(jnp.int32), valid, lo
 
 
+@jax.jit
+def _join_from_q1(q1, tab_h1):
+    """Sort-merge join for pre-computed (already sign-biased) query hashes
+    (the Pallas hash kernel's output path)."""
+    B, K = q1.shape
+    q1f = q1.ravel()
+    Q = q1f.shape[0]
+    a = jnp.concatenate([q1f, tab_h1])
+    perm = jnp.argsort(a, stable=True)
+    is_tab = perm >= Q
+    it32 = is_tab.astype(jnp.int32)
+    tab_before = jnp.cumsum(it32) - it32
+    qpos_c = jnp.where(is_tab, Q, perm)
+    return jnp.zeros(Q, jnp.int32).at[qpos_c].set(
+        tab_before, mode="drop").reshape(B, K)
+
+
 @partial(jax.jit,
          static_argnames=("split_len", "max_dup", "num_nodes"))
 def _stats_saturate_kernel(q1, h2qi, valid, lo, lens, tab_h1, tab_h2,
@@ -344,17 +361,37 @@ def _accumulate(acc_nm, acc_sm, nm, sm):
     return acc_nm + nm, acc_sm + sm
 
 
+def _use_pallas_hash() -> bool:
+    """Pallas hash kernel on real TPU backends only (faster there; on CPU
+    it would need interpret mode)."""
+    return jax.default_backend() == "tpu"
+
+
 def _pe_batch_sorted(fc, fl, rc, rl, tab, split_len, max_dup, num_nodes):
-    """Full batch via the split sort-join kernels."""
+    """Full batch via the split sort-join kernels. On TPU the window-hash
+    stage runs as a Pallas kernel (ops/pallas_kernels.py); elsewhere the
+    fused XLA hash+join kernel is used — identical results either way."""
     tab_h1, tab_h2, tab_node, tab_off, seq_lens = tab
 
-    def end(codes, lens):
-        q1, h2qi, valid, lo = _hash_join_kernel(codes, lens, tab_h1,
-                                                split_len=split_len)
-        return _stats_saturate_kernel(q1, h2qi, valid, lo, lens, tab_h1,
-                                      tab_h2, tab_node, tab_off, seq_lens,
-                                      split_len=split_len, max_dup=max_dup,
-                                      num_nodes=num_nodes)
+    if _use_pallas_hash():
+        from vstrains_tpu.ops.pallas_kernels import window_hashes_pallas
+
+        def end(codes, lens):
+            q1, h2qi, valid = window_hashes_pallas(codes, lens, split_len)
+            valid = valid.astype(bool)
+            lo = _join_from_q1(q1, tab_h1)
+            return _stats_saturate_kernel(
+                q1, h2qi, valid, lo, lens, tab_h1, tab_h2, tab_node,
+                tab_off, seq_lens, split_len=split_len, max_dup=max_dup,
+                num_nodes=num_nodes)
+    else:
+        def end(codes, lens):
+            q1, h2qi, valid, lo = _hash_join_kernel(codes, lens, tab_h1,
+                                                    split_len=split_len)
+            return _stats_saturate_kernel(
+                q1, h2qi, valid, lo, lens, tab_h1, tab_h2, tab_node,
+                tab_off, seq_lens, split_len=split_len, max_dup=max_dup,
+                num_nodes=num_nodes)
 
     f = end(fc, fl)
     r = end(rc, rl)

@@ -83,6 +83,13 @@ def run(args, logger: logging.Logger = None) -> int:
         return (resume_from is not None
                 and _STAGE_ORDER[stage] <= _STAGE_ORDER[resume_from])
 
+    dev = getattr(args, "dev", False)
+
+    def check(view_, where):
+        if dev:
+            from vstrains_tpu.utils.validate import validate_view
+            validate_view(view_, where)
+
     # ---- stage 1: parse + canonize (cheap; recomputed unless resuming) ----
     if resume_from is None:
         logger.info(">>>STAGE: parsing graph and contigs")
@@ -144,6 +151,7 @@ def run(args, logger: logging.Logger = None) -> int:
             graph_simplification(view0, None, threshold, logger)
             write_gfa(view0, f"{temp_dir}/gfa/s_graph_L1.gfa", logger)
             view1 = view0.compact()
+            check(view1, "post-simplification")
 
     # drop contigs that touch removed nodes
     for cno, [contig, _, _] in list(contig_dict.items()):
@@ -197,6 +205,7 @@ def run(args, logger: logging.Logger = None) -> int:
             edge_cleaning(view1, contig_dict, pe_info, logger)
             view2 = store_reinit_graph(
                 view1, f"{temp_dir}/gfa/es_graph_L2.gfa", logger)
+            check(view2, "post-edge-cleaning")
             contig_dict_to_path(contig_dict,
                                 f"{temp_dir}/tmp/pre_contigs.paths")
             contig_dict_to_fasta(view2, contig_dict,
@@ -247,6 +256,7 @@ def run(args, logger: logging.Logger = None) -> int:
                 [v.dp for v in view2.graph.vertices()]))
             viewf = iter_graph_disentanglement(view2, contig_dict, pe_info,
                                                delta, temp_dir, logger)
+            check(viewf, "post-disentanglement")
             contig_dict_to_path(contig_dict,
                                 f"{temp_dir}/tmp/post_contigs.paths")
             contig_dict_to_fasta(viewf, contig_dict,
