@@ -100,7 +100,13 @@ def window_hashes_pallas(codes, lens, split_len: int, block: int = 128,
     )(codes, lens2)
 
 
-def _pair_kernel(f_ref, r_ref, nm_ref, sm_ref, nm_acc, same_acc):
+def pair_matmuls_pallas_fits(B: int, N: int) -> bool:
+    """True when the (N, N) outputs (double-buffered) + input blocks fit
+    the 16MB VMEM budget — covers typical viral graphs (N up to ~700)."""
+    return 2 * 2 * 4 * N * N + 2 * 2 * 4 * 128 * N <= 9 * 1024 * 1024
+
+
+def _pair_kernel(f_ref, r_ref, nm_ref, sm_ref):
     i = pl.program_id(0)
     n_blocks = pl.num_programs(0)
     f = f_ref[:]
@@ -108,38 +114,54 @@ def _pair_kernel(f_ref, r_ref, nm_ref, sm_ref, nm_acc, same_acc):
 
     @pl.when(i == 0)
     def _():
-        nm_acc[:] = jnp.zeros_like(nm_acc)
-        same_acc[:] = jnp.zeros_like(same_acc)
+        nm_ref[:] = jnp.zeros_like(nm_ref)
+        sm_ref[:] = jnp.zeros_like(sm_ref)
 
-    nm_acc[:] += jax.lax.dot_general(
+    # per-block partials are small integers exactly representable in f32;
+    # accumulating in the int32 outputs keeps VMEM within budget at any N
+    nm_ref[:] += jax.lax.dot_general(
         f, r, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    same_acc[:] += (
+        preferred_element_type=jnp.float32).astype(jnp.int32)
+    sm_ref[:] += (
         jax.lax.dot_general(f, f, (((0,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
         + jax.lax.dot_general(r, r, (((0,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32))
+                              preferred_element_type=jnp.float32)
+    ).astype(jnp.int32)
 
     @pl.when(i == n_blocks - 1)
     def _():
-        N = nm_acc.shape[0]
+        N = nm_ref.shape[0]
         rows = jax.lax.broadcasted_iota(jnp.int32, (N, N), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
-        nm_ref[:] = nm_acc[:].astype(jnp.int32)
-        sm_ref[:] = jnp.where(rows <= cols, same_acc[:],
-                              0.0).astype(jnp.int32)
+        sm_ref[:] = jnp.where(rows <= cols, sm_ref[:], 0)
 
 
 @partial(jax.jit, static_argnames=("block", "interpret"))
-def pair_matmuls_pallas(f, r, block: int = 2048, interpret: bool = False):
+def pair_matmuls_pallas(f, r, block: int = None, interpret: bool = False):
     """node_mat = f^T r ; short_mat = triu(f^T f + r^T r), fused on MXU
-    with f32 VMEM accumulators over B-blocks.
+    with int32 output accumulation over B-blocks.
 
     f, r: float32 [B, N] saturation masks (0/1). Equals
     ops.pe_infer._pair_matmuls exactly (0/1 entries, exact in f32).
     """
     B, N = f.shape
+    if not pair_matmuls_pallas_fits(B, N):
+        raise ValueError(
+            f"pair_matmuls_pallas: N={N} outputs exceed the VMEM budget "
+            "(outputs are double-buffered); use the XLA path")
+    if block is None:
+        # keep inputs + outputs (both double-buffered by the pipeline)
+        # within the 16MB VMEM budget; block must divide B (pallas would
+        # feed garbage-padded partial blocks into the matmul), so round
+        # down to a power of two — the engine's batch sizes are powers of
+        # two times 128
+        budget = 4 * 1024 * 1024
+        target = max(128, min(B, budget // max(1, 16 * N)))
+        block = 1 << (target.bit_length() - 1)
     block = min(block, B)
+    if B % block != 0:
+        block = B  # fall back to a single block
     grid = (max(1, B // block),)
     return pl.pallas_call(
         _pair_kernel,
@@ -160,9 +182,5 @@ def pair_matmuls_pallas(f, r, block: int = 2048, interpret: bool = False):
             pl.BlockSpec((N, N), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((N, N), jnp.float32),
-            pltpu.VMEM((N, N), jnp.float32),
-        ],
         interpret=interpret,
     )(f, r)

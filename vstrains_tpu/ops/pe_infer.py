@@ -362,9 +362,17 @@ def _accumulate(acc_nm, acc_sm, nm, sm):
 
 
 def _use_pallas_hash() -> bool:
-    """Pallas hash kernel on real TPU backends only (faster there; on CPU
-    it would need interpret mode)."""
-    return jax.default_backend() == "tpu"
+    """Opt-in Pallas hash+pair kernels (VSTRAINS_PALLAS=1, TPU only).
+
+    Measured on v5e: the Pallas hash kernel wins in isolation (0.034 vs
+    0.046 ms) but the fused XLA hash+join avoids one dispatch + a lane
+    re-slice and wins end-to-end (58.6k vs 52.3k reads/s), so XLA is the
+    default; the Pallas path stays exercised by tools/kernel_bench.py and
+    the opt-in env var.
+    """
+    import os
+    return (os.environ.get("VSTRAINS_PALLAS") == "1"
+            and jax.default_backend() == "tpu")
 
 
 def _pe_batch_sorted(fc, fl, rc, rl, tab, split_len, max_dup, num_nodes):
@@ -374,16 +382,29 @@ def _pe_batch_sorted(fc, fl, rc, rl, tab, split_len, max_dup, num_nodes):
     tab_h1, tab_h2, tab_node, tab_off, seq_lens = tab
 
     if _use_pallas_hash():
-        from vstrains_tpu.ops.pallas_kernels import window_hashes_pallas
+        from vstrains_tpu.ops.pallas_kernels import (
+            pair_matmuls_pallas, pair_matmuls_pallas_fits,
+            window_hashes_pallas)
 
         def end(codes, lens):
+            K = codes.shape[1] - split_len + 1
             q1, h2qi, valid = window_hashes_pallas(codes, lens, split_len)
-            valid = valid.astype(bool)
+            # drop the kernel's lane padding: the join/stats stages scale
+            # with window count
+            q1 = q1[:, :K]
+            h2qi = h2qi[:, :K]
+            valid = valid[:, :K].astype(bool)
             lo = _join_from_q1(q1, tab_h1)
             return _stats_saturate_kernel(
                 q1, h2qi, valid, lo, lens, tab_h1, tab_h2, tab_node,
                 tab_off, seq_lens, split_len=split_len, max_dup=max_dup,
                 num_nodes=num_nodes)
+
+        f = end(fc, fl)
+        r = end(rc, rl)
+        if pair_matmuls_pallas_fits(f.shape[0], num_nodes):
+            return pair_matmuls_pallas(f, r)
+        return _pair_matmuls_jit(f, r, num_nodes=num_nodes)
     else:
         def end(codes, lens):
             q1, h2qi, valid, lo = _hash_join_kernel(codes, lens, tab_h1,
