@@ -69,3 +69,32 @@ def test_two_strain_recovery_split_contigs(tmp_path):
     recovered = set(seqs.values())
     hits = sum(1 for hap in ds.true_haplotypes if hap in recovered)
     assert hits == 2, f"only {hits}/2 haplotypes reconstructed"
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("mode", ["full", "split"])
+def test_five_strain_recovery(tmp_path, mode):
+    """The 5-strain HIV-benchmark analogue (BASELINE config 1): five
+    haplotypes at staggered abundances."""
+    ds, out = _run(tmp_path, num_strains=5, num_bubbles=4,
+                   pairs_per_strain=500,
+                   abundances=(20.0, 40.0, 60.0, 80.0, 100.0),
+                   contig_mode=mode, seed=42)
+    seqs = _read_fasta(out / "strain.fasta")
+    recovered = set(seqs.values())
+    hits = sum(1 for hap in ds.true_haplotypes if hap in recovered)
+    assert hits == 5, f"only {hits}/5 haplotypes reconstructed"
+
+
+@pytest.mark.slow
+def test_ten_strain_recovery(tmp_path):
+    """The 10-strain HCV analogue (BASELINE config 2): denser graph
+    exercising disentanglement depth."""
+    ds, out = _run(tmp_path, num_strains=10, num_bubbles=5,
+                   pairs_per_strain=400,
+                   abundances=tuple(20.0 + 15 * i for i in range(10)),
+                   contig_mode="split", seed=7)
+    seqs = _read_fasta(out / "strain.fasta")
+    recovered = set(seqs.values())
+    hits = sum(1 for hap in ds.true_haplotypes if hap in recovered)
+    assert hits == 10, f"only {hits}/10 haplotypes reconstructed"
