@@ -277,10 +277,10 @@ def _probe_and_saturate(codes, lens, tab_h1b, tab_h2, tab_node, tab_off,
 # compiler into minutes-long (sometimes unbounded) compile times.
 # --------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("split_len",))
-def _hash_join_kernel(codes, lens, tab_h1, split_len: int):
+def _hash_join_impl(codes, lens, tab_h1, split_len: int):
     """Window hashes + sort-merge join -> per-window table position `lo`
-    (index of the first table entry >= query h1)."""
+    (index of the first table entry >= query h1). Unjitted body — reused
+    by the per-shard data-parallel step in parallel/mesh.py."""
     h1q, h2q, valid = _device_window_hashes(codes, lens, split_len)
     B, K = h1q.shape
     q1 = (h1q ^ jnp.uint32(0x80000000)).astype(jnp.int32)
@@ -295,6 +295,10 @@ def _hash_join_kernel(codes, lens, tab_h1, split_len: int):
     lo = jnp.zeros(Q, jnp.int32).at[qpos_c].set(
         tab_before, mode="drop").reshape(B, K)
     return q1, h2q.astype(jnp.int32), valid, lo
+
+
+_hash_join_kernel = partial(jax.jit, static_argnames=("split_len",))(
+    _hash_join_impl)
 
 
 @jax.jit
@@ -361,6 +365,20 @@ def _accumulate(acc_nm, acc_sm, nm, sm):
     return acc_nm + nm, acc_sm + sm
 
 
+def _stack_ends(fc, fl, rc, rl):
+    """Stack fwd+rve reads into one (2B, T) end-batch (padding to a common
+    read length): halves kernel dispatches and doubles the sort-join's
+    amortization. Split the saturation masks back afterwards."""
+    Tf = fc.shape[1]
+    Tr = rc.shape[1]
+    T = max(Tf, Tr)
+    if Tf < T:
+        fc = jnp.pad(fc, ((0, 0), (0, T - Tf)), constant_values=255)
+    if Tr < T:
+        rc = jnp.pad(rc, ((0, 0), (0, T - Tr)), constant_values=255)
+    return jnp.concatenate([fc, rc]), jnp.concatenate([fl, rl])
+
+
 def _use_pallas_hash() -> bool:
     """Opt-in Pallas hash+pair kernels (VSTRAINS_PALLAS=1, TPU only).
 
@@ -376,46 +394,43 @@ def _use_pallas_hash() -> bool:
 
 
 def _pe_batch_sorted(fc, fl, rc, rl, tab, split_len, max_dup, num_nodes):
-    """Full batch via the split sort-join kernels. On TPU the window-hash
-    stage runs as a Pallas kernel (ops/pallas_kernels.py); elsewhere the
-    fused XLA hash+join kernel is used — identical results either way."""
-    tab_h1, tab_h2, tab_node, tab_off, seq_lens = tab
+    """Full batch via the split sort-join kernels.
 
-    if _use_pallas_hash():
+    Both read ends are stacked into one (2B, T) end-batch so the hash,
+    join, and stats stages each run once per pair batch. On TPU with
+    VSTRAINS_PALLAS=1 the window-hash stage runs as a Pallas kernel
+    (ops/pallas_kernels.py); the fused XLA hash+join kernel is the default
+    — identical results either way.
+    """
+    tab_h1, tab_h2, tab_node, tab_off, seq_lens = tab
+    B = fc.shape[0]
+    codes, lens = _stack_ends(fc, fl, rc, rl)
+
+    use_pallas = _use_pallas_hash()
+    if use_pallas:
         from vstrains_tpu.ops.pallas_kernels import (
             pair_matmuls_pallas, pair_matmuls_pallas_fits,
             window_hashes_pallas)
 
-        def end(codes, lens):
-            K = codes.shape[1] - split_len + 1
-            q1, h2qi, valid = window_hashes_pallas(codes, lens, split_len)
-            # drop the kernel's lane padding: the join/stats stages scale
-            # with window count
-            q1 = q1[:, :K]
-            h2qi = h2qi[:, :K]
-            valid = valid[:, :K].astype(bool)
-            lo = _join_from_q1(q1, tab_h1)
-            return _stats_saturate_kernel(
-                q1, h2qi, valid, lo, lens, tab_h1, tab_h2, tab_node,
-                tab_off, seq_lens, split_len=split_len, max_dup=max_dup,
-                num_nodes=num_nodes)
-
-        f = end(fc, fl)
-        r = end(rc, rl)
-        if pair_matmuls_pallas_fits(f.shape[0], num_nodes):
-            return pair_matmuls_pallas(f, r)
-        return _pair_matmuls_jit(f, r, num_nodes=num_nodes)
+        K = codes.shape[1] - split_len + 1
+        q1, h2qi, valid = window_hashes_pallas(codes, lens, split_len)
+        # drop the kernel's lane padding: the join/stats stages scale
+        # with window count
+        q1 = q1[:, :K]
+        h2qi = h2qi[:, :K]
+        valid = valid[:, :K].astype(bool)
+        lo = _join_from_q1(q1, tab_h1)
     else:
-        def end(codes, lens):
-            q1, h2qi, valid, lo = _hash_join_kernel(codes, lens, tab_h1,
-                                                    split_len=split_len)
-            return _stats_saturate_kernel(
-                q1, h2qi, valid, lo, lens, tab_h1, tab_h2, tab_node,
-                tab_off, seq_lens, split_len=split_len, max_dup=max_dup,
-                num_nodes=num_nodes)
-
-    f = end(fc, fl)
-    r = end(rc, rl)
+        q1, h2qi, valid, lo = _hash_join_kernel(codes, lens, tab_h1,
+                                                split_len=split_len)
+    sat = _stats_saturate_kernel(
+        q1, h2qi, valid, lo, lens, tab_h1, tab_h2, tab_node, tab_off,
+        seq_lens, split_len=split_len, max_dup=max_dup,
+        num_nodes=num_nodes)
+    f = sat[:B]
+    r = sat[B:]
+    if use_pallas and pair_matmuls_pallas_fits(B, num_nodes):
+        return pair_matmuls_pallas(f, r)
     return _pair_matmuls_jit(f, r, num_nodes=num_nodes)
 
 

@@ -40,8 +40,11 @@ except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
 from vstrains_tpu.core.fastq import ReadPairBatch
-from vstrains_tpu.ops.pe_infer import (KmerTable, PEResult, _pair_matmuls,
-                                       _probe_stats, _saturate,
+from vstrains_tpu.ops.pe_infer import (KmerTable, PEResult,
+                                       _hash_join_impl, _pair_matmuls,
+                                       _pair_matmuls_jit, _probe_stats,
+                                       _saturate, _stack_ends,
+                                       _stats_saturate_kernel,
                                        build_kmer_table)
 
 _LOG = logging.getLogger(__name__)
@@ -97,7 +100,44 @@ def shard_table(table: KmerTable, n_shards: int) -> ShardedTable:
 
 
 # --------------------------------------------------------------------------
-# DP x TP PE-inference step
+# DP PE-inference step (sort-merge-join probe, read-sharded)
+# --------------------------------------------------------------------------
+
+def make_dp_hash_join_step(mesh: Mesh, split_len: int):
+    """Per-shard hash + sort-merge join over the 'data' axis; the table is
+    replicated, so per-shard join positions equal the global ones."""
+
+    def local(codes, lens, tab_h1):
+        return _hash_join_impl(codes, lens, tab_h1, split_len)
+
+    return jax.jit(shard_map(
+        local, mesh=mesh,
+        in_specs=(P("data", None), P("data"), P(None)),
+        out_specs=(P("data", None), P("data", None), P("data", None),
+                   P("data", None)),
+        check_vma=False,
+    ))
+
+
+def _pe_batch_sorted_dp(fc, fl, rc, rl, tab, hash_join_step, split_len,
+                        max_dup, num_nodes):
+    """Data-parallel batch step with the fast probe: per-shard join
+    (shard_map), then the row-parallel stats and matmul stages run as the
+    same jitted kernels as single-chip — GSPMD partitions them over the
+    sharded rows, inserting the final psum for the replicated matrices."""
+    tab_h1, tab_h2, tab_node, tab_off, seq_lens = tab
+    B = fc.shape[0]
+    codes, lens = _stack_ends(fc, fl, rc, rl)
+    q1, h2qi, valid, lo = hash_join_step(codes, lens, tab_h1)
+    sat = _stats_saturate_kernel(
+        q1, h2qi, valid, lo, lens, tab_h1, tab_h2, tab_node, tab_off,
+        seq_lens, split_len=split_len, max_dup=max_dup,
+        num_nodes=num_nodes)
+    return _pair_matmuls_jit(sat[:B], sat[B:], num_nodes=num_nodes)
+
+
+# --------------------------------------------------------------------------
+# DP x TP PE-inference step (legacy probe; TP shards the table)
 # --------------------------------------------------------------------------
 
 def make_sharded_pe_step(mesh: Mesh, split_len: int, max_dup: int,
@@ -168,11 +208,20 @@ def infer_pe_links_sharded(ids: Sequence[str], seqs: Sequence[str],
         return PEResult(list(ids), node_mat, short_mat, reads.n_reads,
                         reads.short_reads, reads.used_reads)
 
-    stab = shard_table(table, n_model)
-    step = make_sharded_pe_step(mesh, split_len, table.max_dup, N)
-    tab_args = (jnp.asarray(stab.h1_biased), jnp.asarray(stab.h2),
-                jnp.asarray(stab.node), jnp.asarray(stab.offset),
-                jnp.asarray(table.seq_lens))
+    if n_model == 1:
+        # fast path: read-sharded sort-merge-join probe
+        hash_join_step = make_dp_hash_join_step(mesh, split_len)
+        tab_args_dp = (jnp.asarray(table.h1_biased),
+                       jnp.asarray(table.h2), jnp.asarray(table.node),
+                       jnp.asarray(table.offset),
+                       jnp.asarray(table.seq_lens))
+        step = None
+    else:
+        stab = shard_table(table, n_model)
+        step = make_sharded_pe_step(mesh, split_len, table.max_dup, N)
+        tab_args = (jnp.asarray(stab.h1_biased), jnp.asarray(stab.h2),
+                    jnp.asarray(stab.node), jnp.asarray(stab.offset),
+                    jnp.asarray(table.seq_lens))
 
     # batch size must divide evenly over the data axis
     bs = -(-batch_size // n_data) * n_data
@@ -189,8 +238,14 @@ def infer_pe_links_sharded(ids: Sequence[str], seqs: Sequence[str],
             rc = np.pad(rc, ((0, pad), (0, 0)), constant_values=255)
             fl = np.pad(fl, (0, pad))
             rl = np.pad(rl, (0, pad))
-        nm, sm = step(jnp.asarray(fc), jnp.asarray(fl), jnp.asarray(rc),
-                      jnp.asarray(rl), *tab_args)
+        if n_model == 1:
+            nm, sm = _pe_batch_sorted_dp(
+                jnp.asarray(fc), jnp.asarray(fl), jnp.asarray(rc),
+                jnp.asarray(rl), tab_args_dp, hash_join_step, split_len,
+                table.max_dup, N)
+        else:
+            nm, sm = step(jnp.asarray(fc), jnp.asarray(fl),
+                          jnp.asarray(rc), jnp.asarray(rl), *tab_args)
         node_mat += np.asarray(nm, dtype=np.int64)
         short_mat += np.asarray(sm, dtype=np.int64)
 
