@@ -48,7 +48,7 @@ def main():
     rc, rl = _pack([s.encode() for s in rve])
     batch = ReadPairBatch(fc, fl, rc, rl, 0, 0, len(fwd))
     ids = [str(i) for i in range(len(refs))]
-    batch_size = 32768
+    batch_size = 16384
 
     # warmup / compile on a small slice
     warm = ReadPairBatch(fc[:batch_size], fl[:batch_size],
