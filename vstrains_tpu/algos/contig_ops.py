@@ -135,10 +135,12 @@ def contig_dict_remapping(view: GraphView, contig_dict: dict,
     logger = logger or _LOG
 
     def map_contig_tree(contig, id_mappingP: dict):
+        # sorted: set order is hash-randomized; path order decides the
+        # ambiguity-intersection representative below
         if len(id_mappingP[contig[0]]) == 0:
             paths = [[contig[0]]]
         else:
-            paths = [[s] for s in id_mappingP[contig[0]]]
+            paths = [[s] for s in sorted(id_mappingP[contig[0]])]
         for i in range(1, len(contig)):
             acc_paths = []
             nxt = contig[i]
@@ -148,7 +150,7 @@ def contig_dict_remapping(view: GraphView, contig_dict: dict,
                     if (last, nxt) in view.edges:
                         acc_paths.append(p + [nxt])
                 else:
-                    for nextm in id_mappingP[nxt]:
+                    for nextm in sorted(id_mappingP[nxt]):
                         if (last, nextm) in view.edges:
                             acc_paths.append(p + [nextm])
             paths = acc_paths

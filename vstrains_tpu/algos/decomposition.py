@@ -151,8 +151,10 @@ def balance_split(view: GraphView, contig_dict: dict, pe_info: dict,
                          "skip link split")
             split_via_link = False
 
-        # contig-spanning support
-        support_contigs = node_to_contig_dict.get(no, [])
+        # contig-spanning support (sorted: set iteration order is
+        # hash-randomized and re-insertion order feeds later greedy
+        # tie-breaks — the reference is nondeterministic here)
+        support_contigs = sorted(node_to_contig_dict.get(no, []))
         con_info: Dict[Tuple[str, str], list] = {}
         for cno in support_contigs:
             [contig, clen, ccov] = contig_dict[cno]
@@ -230,7 +232,7 @@ def balance_split(view: GraphView, contig_dict: dict, pe_info: dict,
             link2subs[(uid, wid)] = sub_id
 
         # remap contigs crossing the branch (Decomposition:443-482)
-        for cno in support_contigs:
+        for cno in sorted(support_contigs):
             curr_contig, clen, ccov = contig_dict.pop(cno)
             branch_ind = curr_contig.index(no)
             uid = curr_contig[branch_ind - 1] if branch_ind > 0 else None

@@ -49,7 +49,7 @@ def best_matching(view: GraphView, contig_dict: dict, pe_info: dict,
         logger.debug("---------------------------------------------")
         logger.debug("current non trivial branch: %s, in-degree: %s, "
                      "out-degree: %s", no, len(us), len(ws))
-        support_contigs = node_to_contig_dict.get(no, [])
+        support_contigs = sorted(node_to_contig_dict.get(no, []))
         con_info = {}
         for cno in support_contigs:
             [contig, clen, ccov] = contig_dict[cno]
@@ -417,8 +417,8 @@ def path_extension(view: GraphView, contig_dict: dict, full_link: dict,
                     kept_link.pop((uid, wid))
                     if (len(red_id_mapping[uid]) == 1
                             or len(red_id_mapping[wid]) == 1):
-                        for uuid in red_id_mapping[uid]:
-                            for wwid in red_id_mapping[wid]:
+                        for uuid in sorted(red_id_mapping[uid]):
+                            for wwid in sorted(red_id_mapping[wid]):
                                 if ((uuid, wwid) not in kept_link
                                         and view.nodes[uuid]
                                         in node.in_neighbors()
