@@ -64,11 +64,30 @@ class PipelineError(Exception):
     pass
 
 
+def _enable_compilation_cache(logger) -> None:
+    """Persistent XLA compilation cache: kernel compiles (expensive on TPU,
+    especially via remote-compile tunnels) amortize across runs."""
+    import os
+
+    import jax
+    if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        return
+    try:
+        cache_dir = os.path.join(os.path.expanduser("~"), ".cache",
+                                 "vstrains_tpu_jax")
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:  # non-fatal
+        logger.debug("compilation cache unavailable: %s", e)
+
+
 def run(args, logger: logging.Logger = None) -> int:
     """args needs: gfa_file, path_file, fwd, rve, output_dir, min_cov,
     min_len, dev (mirrors the reference CLI namespace); optional: resume,
     pe_batch_size, profile_dir."""
     logger = logger or _LOG
+    _enable_compilation_cache(logger)
     temp_dir = args.output_dir
     timer = StageTimer(profile_dir=getattr(args, "profile_dir", None))
     logger.info("vstrains-tpu pipeline started")
