@@ -60,3 +60,28 @@ def test_multicomponent_recovery(tmp_path, workers):
     recovered = set(seqs.values())
     hits = sum(1 for hap in ds.true_haplotypes if hap in recovered)
     assert hits == 4, f"only {hits}/4 haplotypes reconstructed"
+
+
+@pytest.mark.slow
+def test_fifteen_strain_metaviral(tmp_path):
+    """The 15-strain metaviral analogue (BASELINE config 5): 3 components
+    x 5 strains via metaSPAdes-style multi-component graph, per-component
+    extraction with 2 workers."""
+    ds = make_multi_component_dataset(
+        str(tmp_path / "data"), n_components=3, num_strains=5,
+        num_bubbles=3, pairs_per_strain=300,
+        abundances=(20.0, 40.0, 60.0, 80.0, 100.0), seed=3)
+    out = tmp_path / "out15"
+    for sub in ["gfa", "tmp", "paf", "aln"]:
+        os.makedirs(out / sub)
+    args = SimpleNamespace(
+        gfa_file=ds.gfa_path, path_file=ds.paths_path,
+        fwd=ds.fwd_path, rve=ds.rve_path,
+        output_dir=str(out), min_cov=None, min_len=250, dev=False,
+        pe_batch_size=512, resume=False, per_component=True,
+        component_workers=2)
+    pipeline.run(args, _LOG)
+    seqs = _read_fasta(out / "strain.fasta")
+    recovered = set(seqs.values())
+    hits = sum(1 for hap in ds.true_haplotypes if hap in recovered)
+    assert hits == 15, f"only {hits}/15 haplotypes reconstructed"

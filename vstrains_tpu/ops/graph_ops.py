@@ -79,6 +79,29 @@ def assign_edge_flow(view: GraphView, exact: Optional[bool] = None) -> None:
             e.flow = float(f)
 
 
+def save_coverage_plot(dps: np.ndarray, threshold: float,
+                       out_path: str) -> bool:
+    """Coverage histogram plot with the chosen cutoff (parity:
+    VStrains_Preprocess.py:62-69). Optional: returns False when matplotlib
+    is unavailable."""
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:
+        return False
+    dps = np.asarray(dps, dtype=np.float64)
+    plt.figure(figsize=(16, 8))
+    plt.hist(x=dps, bins=min(len(dps), 200))
+    plt.axvline(threshold, color="r")
+    plt.title("node coverage bar plot")
+    plt.xlabel("depth")
+    plt.ylabel("nodes")
+    plt.savefig(out_path)
+    plt.close()
+    return True
+
+
 def threshold_estimation(dps: np.ndarray, logger=None) -> float:
     """Histogram-based low-coverage cutoff (VStrains_Preprocess.py:37-70).
 

@@ -141,6 +141,10 @@ def run(args, logger: logging.Logger = None) -> int:
                 dps = [v.dp for v in view0.graph.vertices()]
                 threshold = threshold_estimation(numpy.array(dps), logger)
                 logger.info("computed node minimum coverage: %s", threshold)
+                if dev:
+                    from vstrains_tpu.ops.graph_ops import save_coverage_plot
+                    save_coverage_plot(numpy.array(dps), threshold,
+                                       f"{temp_dir}/tmp/bar_plot.png")
 
             contig_dict, contig_info = spades_paths_parser(
                 view0, idx_mapping, args.path_file,
