@@ -15,6 +15,7 @@ from typing import Dict, List
 import numpy
 
 from vstrains_tpu.algos.pathmath import path_len, path_to_seq
+from vstrains_tpu.core.pe_store import pe_pop_nodes
 from vstrains_tpu.core.graph import GraphView, Vertex
 
 _LOG = logging.getLogger(__name__)
@@ -100,16 +101,31 @@ def simp_path_compactification(view: GraphView, contig_dict, pe_info,
         cv = view.add_vertex(merged_id, ccov, cseq)
         contig_info.append([src, tgt, cno, cv, in_edges, out_edges])
         if pe_info is not None:
-            for nno in list(view.nodes.keys()):
-                key = (min(merged_id, nno), max(merged_id, nno))
-                pe_info[key] = 0
-                if nno != merged_id:
-                    for sub_id in contig:
-                        pe_info[key] += pe_info[
-                            (min(sub_id, nno), max(sub_id, nno))]
-            for pu, pv in list(pe_info.keys()):
-                if pu in contig or pv in contig:
-                    pe_info.pop((min(pu, pv), max(pu, pv)))
+            if hasattr(pe_info, "items_of"):
+                # index-driven and sparse: O(sum of member pair-degrees)
+                # instead of O(N x members); zero pairs read as 0
+                # implicitly
+                acc: Dict[str, int] = {}
+                members = set(contig)
+                for sub_id in contig:
+                    for (ku, kv), val in pe_info.items_of(sub_id):
+                        partner = kv if ku == sub_id else ku
+                        if partner in members:
+                            continue
+                        acc[partner] = acc.get(partner, 0) + (val or 0)
+                for nno, total in acc.items():
+                    if total and nno in view.nodes:
+                        key = (min(merged_id, nno), max(merged_id, nno))
+                        pe_info[key] = total
+            else:
+                for nno in list(view.nodes.keys()):
+                    key = (min(merged_id, nno), max(merged_id, nno))
+                    pe_info[key] = 0
+                    if nno != merged_id:
+                        for sub_id in contig:
+                            pe_info[key] += pe_info[
+                                (min(sub_id, nno), max(sub_id, nno))]
+            pe_pop_nodes(pe_info, contig)
 
     # recover boundary edges around the merged nodes (Utilities:501-549)
     for [_, _, _, node, in_edges, out_edges] in contig_info:

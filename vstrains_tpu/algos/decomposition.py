@@ -29,6 +29,7 @@ from vstrains_tpu.algos.contig_ops import (contig_dict_remapping,
                                            contig_map_node,
                                            trim_contig_dict)
 from vstrains_tpu.core.gfa import store_reinit_graph
+from vstrains_tpu.core.pe_store import pe_normalize_none, pe_pop_node
 from vstrains_tpu.core.graph import BLACK, GraphView
 
 _LOG = logging.getLogger(__name__)
@@ -115,6 +116,11 @@ def balance_split(view: GraphView, contig_dict: dict, pe_info: dict,
     non_trivial_branches = get_non_trivial_branches(view)
     split_branches: List[str] = []
     node_to_contig_dict, _ = contig_map_node(contig_dict)
+    # nodes split earlier in THIS call: their PE pairs are unknown until
+    # the next inference round (the reference marks every pair None and
+    # normalizes at the end, Decomposition:493-503 — O(N) per new node;
+    # a call-local set is equivalent and O(1))
+    fresh_nodes: set = set()
     for no, node in non_trivial_branches.items():
         us = [e.source.vid for e in node.in_edges() if e.color == BLACK]
         ws = [e.target.vid for e in node.out_edges() if e.color == BLACK]
@@ -123,8 +129,10 @@ def balance_split(view: GraphView, contig_dict: dict, pe_info: dict,
                      "out-degree: %s", no, len(us), len(ws))
 
         # authenticate if split-able
-        if (any(pe_info[(uid, uid)] is None for uid in us)
-                or any(pe_info[(wid, wid)] is None for wid in ws)):
+        if (any(uid in fresh_nodes or pe_info[(uid, uid)] is None
+                for uid in us)
+                or any(wid in fresh_nodes or pe_info[(wid, wid)] is None
+                       for wid in ws)):
             logger.debug("branch %s is related to current iteration, "
                          "split later", no)
             continue
@@ -270,15 +278,10 @@ def balance_split(view: GraphView, contig_dict: dict, pe_info: dict,
 
         # invalidate PE info for the new ids (Decomposition:493-503)
         for (uid, wid), sub_id in link2subs.items():
-            for nno in view.nodes.keys():
-                pe_info[(min(sub_id, nno), max(sub_id, nno))] = None
-        for pu, pv in list(pe_info.keys()):
-            if pu == no or pv == no:
-                pe_info.pop((min(pu, pv), max(pu, pv)))
+            fresh_nodes.add(sub_id)
+        pe_pop_node(pe_info, no)
 
-    for k in pe_info.keys():
-        if pe_info[k] is None:
-            pe_info[k] = 0
+    pe_normalize_none(pe_info)
     logger.debug("No of branch be removed: %s", len(set(split_branches)))
     logger.debug("Split branches: %s", set(split_branches))
     logger.info("done")
@@ -311,17 +314,12 @@ def _fork_node(view: GraphView, node, keep_edge, fork_edges, fork_in: bool,
             view.add_edge(keep_edge.source, snode, keep_edge.overlap,
                           fe.flow)
         id_mapping[no].add(sub_id)
-        if pe_info is not None:
-            for nno in view.nodes.keys():
-                pe_info[(min(sub_id, nno), max(sub_id, nno))] = None
     if fork_in:
         view.edges.pop((no, keep_edge.target.vid), None)
     else:
         view.edges.pop((keep_edge.source.vid, no), None)
     if pe_info is not None:
-        for pu, pv in list(pe_info.keys()):
-            if pu == no or pv == no:
-                pe_info.pop((min(pu, pv), max(pu, pv)))
+        pe_pop_node(pe_info, no)
 
 
 def trivial_split(view: GraphView, pe_info: dict,
@@ -367,9 +365,7 @@ def trivial_split(view: GraphView, pe_info: dict,
                 view.nodes.pop(ono, None)
                 trivial_split_count += 1
 
-    for k in pe_info.keys():
-        if pe_info[k] is None:
-            pe_info[k] = 0
+    pe_normalize_none(pe_info)
     logger.debug("Total split-ted trivial branch count: %s",
                  trivial_split_count)
     return trivial_split_count, id_mapping

@@ -105,9 +105,11 @@ def process_component(payload: dict, delta: float) -> Dict[str, list]:
         view = load_flipped_gfa(gfa_path, logger)
     finally:
         os.unlink(gfa_path)
+    from vstrains_tpu.core.pe_store import PEInfo
+
     assign_edge_flow(view)
     contig_dict = payload["contig_dict"]
-    pe_info = dict(payload["pe_info"])
+    pe_info = PEInfo(payload["pe_info"])
     view = iter_graph_disentanglement(view, contig_dict, pe_info, delta,
                                       None, logger)
     full_link = best_matching(view, contig_dict, pe_info, logger)

@@ -50,6 +50,7 @@ from vstrains_tpu.core.fastq import load_read_pairs
 from vstrains_tpu.core.gfa import (load_flipped_gfa, store_reinit_graph,
                                    write_gfa)
 from vstrains_tpu.ops.graph_ops import assign_edge_flow, threshold_estimation
+from vstrains_tpu.core.pe_store import PEInfo
 from vstrains_tpu.ops.pe_infer import (infer_pe_links, pe_info_from_result,
                                        write_pe_files)
 from vstrains_tpu.utils import checkpoint as ckpt
@@ -193,7 +194,7 @@ def run(args, logger: logging.Logger = None) -> int:
     # ---- stage 4: PE-link inference (on-device) ----
     if done("pe_links"):
         st = ckpt.load_stage(temp_dir, "pe_links")
-        pe_info = st["pe_info"]
+        pe_info = PEInfo(st["pe_info"])
         dcpy_pe_info = st["dcpy_pe_info"]
         logger.info("resumed stage pe_links (%d pairs)", len(pe_info))
     else:
@@ -213,6 +214,8 @@ def run(args, logger: logging.Logger = None) -> int:
             logger.info("paired end information stored")
             pe_info, dcpy_pe_info = pe_info_from_result(view1.nodes.keys(),
                                                         pe_result)
+            # sparse store: zero pairs read as 0 implicitly
+            pe_info = PEInfo({k: v for k, v in pe_info.items() if v})
             ckpt.save_stage(temp_dir, "pe_links", {
                 "pe_info": pe_info, "dcpy_pe_info": dcpy_pe_info})
 
@@ -220,7 +223,7 @@ def run(args, logger: logging.Logger = None) -> int:
     if done("cleaned"):
         st = ckpt.load_stage(temp_dir, "cleaned")
         contig_dict = st["contig_dict"]
-        pe_info = st["pe_info"]
+        pe_info = PEInfo(st["pe_info"])
         view2 = load_flipped_gfa(f"{temp_dir}/gfa/es_graph_L2.gfa", logger)
         assign_edge_flow(view2)
     else:
@@ -268,7 +271,7 @@ def run(args, logger: logging.Logger = None) -> int:
     elif done("disentangled"):
         st = ckpt.load_stage(temp_dir, "disentangled")
         contig_dict = st["contig_dict"]
-        pe_info = st["pe_info"]
+        pe_info = PEInfo(st["pe_info"])
         viewf = load_flipped_gfa(f"{temp_dir}/gfa/ckpt_disentangled.gfa",
                                  logger)
         assign_edge_flow(viewf)
