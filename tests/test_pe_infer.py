@@ -145,3 +145,21 @@ def test_process_pe_info_files_match_inmemory(tmp_path):
     filed, filed_d = process_pe_info(ids, str(tmp_path / "pe_info"),
                                      str(tmp_path / "st_info"))
     assert mem == filed and mem_d == filed_d
+
+
+def test_sparse_pe_info_matches_dense():
+    from vstrains_tpu.ops.pe_infer import pe_info_sparse_from_result
+    rng = np.random.RandomState(13)
+    k = 11
+    refs = _random_refs(rng, 4, [60, 70, 80, 90])
+    fwd, rve = _sample_reads(rng, refs, 50, 30, k)
+    batch = _make_batch(fwd, rve, k + 1)
+    ids = ["n0", "n1", "n2", "n3"]
+    res = infer_pe_links(ids, refs, batch, k)
+    dense, dense_d = pe_info_from_result(ids, res)
+    sparse, sparse_d = pe_info_sparse_from_result(ids, res)
+    for key, val in dense.items():
+        assert sparse[key] == val  # missing sparse keys read as 0
+        assert sparse_d[key] == val
+    for key in sparse:
+        assert dense[key] == sparse[key]

@@ -596,6 +596,35 @@ def process_pe_info(node_ids: Sequence[str], pe_info_file: str,
     return pe_info, dict(pe_info)
 
 
+def pe_info_sparse_from_result(node_ids: Sequence[str],
+                               result: PEResult):
+    """Vectorized sparse construction of the symmetric PE-link store:
+    equivalent to pe_info_from_result but O(nonzero pairs) instead of
+    O(N^2) Python loops, returning PEInfo stores whose missing pairs read
+    as 0 (the reference's dense zero-init contract). Returns
+    (pe_info, dcpy_pe_info)."""
+    from vstrains_tpu.core.pe_store import PEInfo
+
+    ids = result.ids
+    node_set = set(node_ids)
+    keep = np.array([vid in node_set for vid in ids], dtype=bool)
+    total = result.node_mat + result.short_mat
+    sym = total + total.T
+    pe = PEInfo()
+    # off-diagonal upper triangle
+    iu, ju = np.nonzero(np.triu(sym, k=1))
+    for i, j in zip(iu.tolist(), ju.tolist()):
+        if keep[i] and keep[j]:
+            u, v = ids[i], ids[j]
+            pe[(min(u, v), max(u, v))] = int(sym[i, j])
+    # diagonal
+    for i in np.nonzero(np.diagonal(total))[0].tolist():
+        if keep[i]:
+            u = ids[i]
+            pe[(u, u)] = int(total[i, i])
+    return pe, PEInfo(pe)
+
+
 def pe_info_from_result(node_ids: Sequence[str], result: PEResult):
     """Symmetric pe_info dict keyed by lexicographic (min,max) id pairs,
     summing PE and single-strand counts — same contract as process_pe_info

@@ -51,7 +51,8 @@ from vstrains_tpu.core.gfa import (load_flipped_gfa, store_reinit_graph,
                                    write_gfa)
 from vstrains_tpu.ops.graph_ops import assign_edge_flow, threshold_estimation
 from vstrains_tpu.core.pe_store import PEInfo
-from vstrains_tpu.ops.pe_infer import (infer_pe_links, pe_info_from_result,
+from vstrains_tpu.ops.pe_infer import (infer_pe_links,
+                                       pe_info_sparse_from_result,
                                        write_pe_files)
 from vstrains_tpu.utils import checkpoint as ckpt
 from vstrains_tpu.utils.tracing import StageTimer
@@ -195,7 +196,7 @@ def run(args, logger: logging.Logger = None) -> int:
     if done("pe_links"):
         st = ckpt.load_stage(temp_dir, "pe_links")
         pe_info = PEInfo(st["pe_info"])
-        dcpy_pe_info = st["dcpy_pe_info"]
+        dcpy_pe_info = PEInfo(st["dcpy_pe_info"])
         logger.info("resumed stage pe_links (%d pairs)", len(pe_info))
     else:
         logger.info(">>>STAGE: paired-end link inference")
@@ -212,10 +213,8 @@ def run(args, logger: logging.Logger = None) -> int:
             write_pe_files(pe_result, f"{temp_dir}/aln/pe_info",
                            f"{temp_dir}/aln/st_info")
             logger.info("paired end information stored")
-            pe_info, dcpy_pe_info = pe_info_from_result(view1.nodes.keys(),
-                                                        pe_result)
-            # sparse store: zero pairs read as 0 implicitly
-            pe_info = PEInfo({k: v for k, v in pe_info.items() if v})
+            pe_info, dcpy_pe_info = pe_info_sparse_from_result(
+                view1.nodes.keys(), pe_result)
             ckpt.save_stage(temp_dir, "pe_links", {
                 "pe_info": pe_info, "dcpy_pe_info": dcpy_pe_info})
 
