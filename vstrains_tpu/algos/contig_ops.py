@@ -99,25 +99,48 @@ def graph_reduction_c(view: GraphView, cand_path, usage_dict: dict,
 def contig_dup_removed_s(contig_dict: dict,
                          logger: logging.Logger = None) -> dict:
     """Remove duplicate / subset contigs by node-set equality
-    (Utilities:589-616)."""
+    (Utilities:589-616).
+
+    The reference's O(C^2) all-pairs scan becomes an inverted-index walk
+    over node-sharing pairs only: pairs with an empty intersection can
+    never fire a rule (unless a contig is empty, handled explicitly), and
+    related pairs are visited in the same dict order with the same
+    at-visit-time dup guards, so the kept/dropped outcome is identical.
+    """
     logger = logger or _LOG
     logger.info("drop duplicated contigs..")
+    keys = list(contig_dict.keys())
+    order = {c: i for i, c in enumerate(keys)}
+    sets = {c: set(contig_dict[c][0]) for c in keys}
+    node2c: Dict[str, set] = {}
+    for c in keys:
+        for n in sets[c]:
+            node2c.setdefault(n, set()).add(c)
+    empties = [c for c in keys if not sets[c]]
+
     dup_contig_ids = set()
-    for cno1 in contig_dict.keys():
-        contig1, _, _ = contig_dict[cno1]
-        for cno2 in contig_dict.keys():
-            if (cno1 not in dup_contig_ids and cno2 not in dup_contig_ids
-                    and cno1 != cno2):
-                contig2, _, _ = contig_dict[cno2]
-                # set equality avoids cyclic-rotation mismatches
-                intersect = set(contig1).intersection(set(contig2))
-                if (len(intersect) == len(contig1)
-                        and len(intersect) == len(contig2)):
-                    dup_contig_ids.add(cno2)
-                elif len(intersect) == len(contig1):
-                    dup_contig_ids.add(cno1)
-                elif len(intersect) == len(contig2):
-                    dup_contig_ids.add(cno2)
+    for cno1 in keys:
+        s1 = sets[cno1]
+        if not s1:
+            related = [c for c in keys if c != cno1]
+        else:
+            cand = set(empties)
+            for n in s1:
+                cand |= node2c.get(n, set())
+            cand.discard(cno1)
+            related = sorted(cand, key=order.get)
+        l1 = len(s1)
+        for cno2 in related:
+            if (cno1 in dup_contig_ids or cno2 in dup_contig_ids):
+                continue
+            s2 = sets[cno2]
+            inter = len(s1 & s2)
+            if inter == l1 and inter == len(s2):
+                dup_contig_ids.add(cno2)
+            elif inter == l1:
+                dup_contig_ids.add(cno1)
+            elif inter == len(s2):
+                dup_contig_ids.add(cno2)
     for cno in dup_contig_ids:
         contig_dict.pop(cno)
     logger.debug("duplicated contigs: %s", dup_contig_ids)

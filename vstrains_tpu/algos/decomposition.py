@@ -239,9 +239,14 @@ def balance_split(view: GraphView, contig_dict: dict, pe_info: dict,
                           view.edges[(no, wid)].overlap, sub_flow)
             link2subs[(uid, wid)] = sub_id
 
-        # remap contigs crossing the branch (Decomposition:443-482)
+        # remap contigs crossing the branch (Decomposition:443-482);
+        # the node->contigs index is updated incrementally (the reference
+        # rebuilds it fully per split, Decomposition:490 — O(C) per split)
+        removed_contents = {}
+        added_cnos = []
         for cno in sorted(support_contigs):
             curr_contig, clen, ccov = contig_dict.pop(cno)
+            removed_contents[cno] = list(curr_contig)
             branch_ind = curr_contig.index(no)
             uid = curr_contig[branch_ind - 1] if branch_ind > 0 else None
             wid = (curr_contig[branch_ind + 1]
@@ -249,24 +254,31 @@ def balance_split(view: GraphView, contig_dict: dict, pe_info: dict,
             if uid is not None and wid is not None:
                 curr_contig[branch_ind] = link2subs[(uid, wid)]
                 contig_dict[cno] = [curr_contig, clen, ccov]
+                added_cnos.append(cno)
             elif uid is None and wid is None:
                 for sub_id in link2subs.values():
-                    contig_dict[cno + "$" + str(sub_id.split("*")[-1])] = [
+                    new_cno = cno + "$" + str(sub_id.split("*")[-1])
+                    contig_dict[new_cno] = [
                         [sub_id],
                         len(view.nodes[sub_id].seq),
                         view.nodes[sub_id].dp]
+                    added_cnos.append(new_cno)
             elif uid is not None and wid is None:
                 for (uid2, _), sub_id in link2subs.items():
                     if uid == uid2:
                         curr_contig[branch_ind] = sub_id
-                        contig_dict[cno + "$" + str(sub_id.split("*")[-1])
-                                    ] = [list(curr_contig), clen, ccov]
+                        new_cno = cno + "$" + str(sub_id.split("*")[-1])
+                        contig_dict[new_cno] = [list(curr_contig), clen,
+                                                ccov]
+                        added_cnos.append(new_cno)
             else:
                 for (_, wid2), sub_id in link2subs.items():
                     if wid == wid2:
                         curr_contig[branch_ind] = sub_id
-                        contig_dict[cno + "$" + str(sub_id.split("*")[-1])
-                                    ] = [list(curr_contig), clen, ccov]
+                        new_cno = cno + "$" + str(sub_id.split("*")[-1])
+                        contig_dict[new_cno] = [list(curr_contig), clen,
+                                                ccov]
+                        added_cnos.append(new_cno)
 
         # drop the old branch and its edges
         for uid in us:
@@ -274,7 +286,14 @@ def balance_split(view: GraphView, contig_dict: dict, pe_info: dict,
         for wid in ws:
             view.remove_edge(no, wid)
         view.remove_vertex(no)
-        node_to_contig_dict, _ = contig_map_node(contig_dict)
+        for cno, contents in removed_contents.items():
+            for n in contents:
+                cnos = node_to_contig_dict.get(n)
+                if cnos is not None:
+                    cnos.discard(cno)
+        for cno in added_cnos:
+            for n in contig_dict[cno][0]:
+                node_to_contig_dict.setdefault(n, set()).add(cno)
 
         # invalidate PE info for the new ids (Decomposition:493-503)
         for (uid, wid), sub_id in link2subs.items():
