@@ -98,3 +98,17 @@ def test_ten_strain_recovery(tmp_path):
     recovered = set(seqs.values())
     hits = sum(1 for hap in ds.true_haplotypes if hap in recovered)
     assert hits == 10, f"only {hits}/10 haplotypes reconstructed"
+
+
+@pytest.mark.slow
+def test_recovery_with_sequencing_errors(tmp_path):
+    """0.5% substitution errors in reads: the saturation heuristic still
+    yields exact haplotype recovery."""
+    ds, out = _run(tmp_path, num_strains=3, num_bubbles=3,
+                   pairs_per_strain=800,
+                   abundances=(40.0, 70.0, 100.0),
+                   contig_mode="split", error_rate=0.005, seed=23)
+    seqs = _read_fasta(out / "strain.fasta")
+    recovered = set(seqs.values())
+    hits = sum(1 for hap in ds.true_haplotypes if hap in recovered)
+    assert hits == 3, f"only {hits}/3 haplotypes reconstructed"

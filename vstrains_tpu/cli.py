@@ -149,6 +149,12 @@ def main(argv=None) -> int:
     console.setFormatter(fmt)
     fileh.setFormatter(fmt)
 
+    if args.dev:
+        # fail-fast numeric guards (reference parity: numpy.seterr at
+        # vstrains:25) + NaN debugging on device
+        from vstrains_tpu.utils.validate import enable_numeric_guards
+        enable_numeric_guards()
+
     from vstrains_tpu import pipeline
     pipeline.run(args, logger)
 

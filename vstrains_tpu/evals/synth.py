@@ -49,6 +49,7 @@ def make_dataset(out_dir: str,
                  pairs_per_strain: int = 600,
                  abundances: Tuple[float, ...] = None,
                  contig_mode: str = "full",
+                 error_rate: float = 0.0,
                  seed: int = 0) -> SynthDataset:
     """Create GFA + contigs.paths + paired FASTQ under out_dir.
 
@@ -167,6 +168,18 @@ def make_dataset(out_dir: str,
     fwd_path = os.path.join(out_dir, "reads_1.fastq")
     rve_path = os.path.join(out_dir, "reads_2.fastq")
     qual = "I" * read_len
+
+    def mutate(seq: str) -> str:
+        if error_rate <= 0:
+            return seq
+        arr = list(seq)
+        for pos in np.nonzero(rng.random_sample(len(arr))
+                              < error_rate)[0]:
+            old = arr[pos]
+            arr[pos] = "ACGT"[("ACGT".index(old)
+                               + rng.randint(1, 4)) % 4]
+        return "".join(arr)
+
     with open(fwd_path, "w") as f1, open(rve_path, "w") as f2:
         ridx = 0
         for s in range(num_strains):
@@ -175,9 +188,9 @@ def make_dataset(out_dir: str,
             maxp = len(hap) - insert_len
             positions = rng.randint(0, maxp, size=npairs)
             for p in positions:
-                fseq = hap[p: p + read_len]
-                rseq = revcomp_str(hap[p + insert_len - read_len:
-                                       p + insert_len])
+                fseq = mutate(hap[p: p + read_len])
+                rseq = mutate(revcomp_str(hap[p + insert_len - read_len:
+                                              p + insert_len]))
                 f1.write(f"@read{ridx}/1\n{fseq}\n+\n{qual}\n")
                 f2.write(f"@read{ridx}/2\n{rseq}\n+\n{qual}\n")
                 ridx += 1
