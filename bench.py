@@ -38,7 +38,7 @@ def synth_workload(n_nodes=100, node_len=800, n_pairs=100_000,
 
 
 def main():
-    n_pairs = 100_000
+    n_pairs = 300_000
     refs, fwd, rve, k = synth_workload(n_pairs=n_pairs)
 
     from vstrains_tpu.core.fastq import ReadPairBatch, _pack

@@ -318,13 +318,13 @@ def _join_from_q1(q1, tab_h1):
         tab_before, mode="drop").reshape(B, K)
 
 
-@partial(jax.jit,
-         static_argnames=("split_len", "max_dup", "num_nodes"))
-def _stats_saturate_kernel(q1, h2qi, valid, lo, lens, tab_h1, tab_h2,
-                           tab_node, tab_off, seq_lens, split_len: int,
-                           max_dup: int, num_nodes: int):
+def _dup_scan_stats_impl(q1, h2qi, valid, lo, tab_h1, tab_h2,
+                         tab_node, tab_off, max_dup: int,
+                         num_nodes: int):
     """Bounded duplicate scan from `lo` with in-loop hash-equality masks,
-    scatter-accumulated per-(read, node) stats, saturation test."""
+    scatter-accumulated per-(read, node) stats (count, min-coord,
+    min-kindex). Shared by the single-chip kernel and the
+    tensor-parallel per-shard step (parallel/mesh.py)."""
     B, K = q1.shape
     M = tab_h1.shape[0]
     N = num_nodes
@@ -351,8 +351,19 @@ def _stats_saturate_kernel(q1, h2qi, valid, lo, lens, tab_h1, tab_h2,
 
     cnt, cmin, kmin = jax.lax.fori_loop(0, max_dup, body,
                                         (cnt, cmin, kmin))
-    return _saturate(cnt[:, :N], cmin[:, :N], kmin[:, :N], lens, seq_lens,
-                     split_len)
+    return cnt[:, :N], cmin[:, :N], kmin[:, :N]
+
+
+@partial(jax.jit,
+         static_argnames=("split_len", "max_dup", "num_nodes"))
+def _stats_saturate_kernel(q1, h2qi, valid, lo, lens, tab_h1, tab_h2,
+                           tab_node, tab_off, seq_lens, split_len: int,
+                           max_dup: int, num_nodes: int):
+    """Duplicate-scan stats + saturation test (single-chip jit)."""
+    cnt, cmin, kmin = _dup_scan_stats_impl(q1, h2qi, valid, lo, tab_h1,
+                                           tab_h2, tab_node, tab_off,
+                                           max_dup, num_nodes)
+    return _saturate(cnt, cmin, kmin, lens, seq_lens, split_len)
 
 
 @partial(jax.jit, static_argnames=("num_nodes",))

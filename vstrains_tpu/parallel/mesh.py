@@ -41,6 +41,7 @@ except ImportError:  # pragma: no cover
 
 from vstrains_tpu.core.fastq import ReadPairBatch
 from vstrains_tpu.ops.pe_infer import (KmerTable, PEResult,
+                                       _dup_scan_stats_impl,
                                        _hash_join_impl, _pair_matmuls,
                                        _pair_matmuls_jit, _probe_stats,
                                        _saturate, _stack_ends,
@@ -137,47 +138,67 @@ def _pe_batch_sorted_dp(fc, fl, rc, rl, tab, hash_join_step, split_len,
 
 
 # --------------------------------------------------------------------------
-# DP x TP PE-inference step (legacy probe; TP shards the table)
+# DP x TP PE-inference steps (staged sort-join probe; TP shards the table)
 # --------------------------------------------------------------------------
 
-def make_sharded_pe_step(mesh: Mesh, split_len: int, max_dup: int,
-                         num_nodes: int):
-    """jit-compiled (data x model)-sharded PE-link step.
+def make_tp_hash_join_step(mesh: Mesh, split_len: int):
+    """Hash + per-table-shard sort-merge join on a (data, model) mesh.
 
-    Inputs: read codes/lens sharded over 'data'; table arrays sharded over
-    'model'; seq_lens replicated. Output: (node_mat, short_mat) int32
-    [N, N], fully replicated.
-    """
+    Every model rank hashes its data shard identically (cheap, replicated
+    output) and joins against its own sorted table shard; the per-shard
+    join positions feed the TP stats step, whose (sum, min, min) stat
+    monoid merges exactly across shards."""
 
-    def local_step(fc, fl, rc, rl, th1, th2, tn, to, seq_lens):
-        # shard_map passes blocks with a leading axis of size 1 for the
-        # model-sharded table; drop it.
-        th1, th2, tn, to = (a[0] for a in (th1, th2, tn, to))
-
-        def end_stats(codes, lens):
-            cnt, cmin, kmin = _probe_stats(codes, lens, th1, th2, tn, to,
-                                           split_len, max_dup, num_nodes)
-            # exact combine of partial stats across table shards
-            cnt = jax.lax.psum(cnt, "model")
-            cmin = jax.lax.pmin(cmin, "model")
-            kmin = jax.lax.pmin(kmin, "model")
-            return _saturate(cnt, cmin, kmin, lens, seq_lens, split_len)
-
-        f = end_stats(fc, fl)
-        r = end_stats(rc, rl)
-        nm, sm = _pair_matmuls(f, r, num_nodes)
-        nm = jax.lax.psum(nm, "data")
-        sm = jax.lax.psum(sm, "data")
-        return nm, sm
+    def local(codes, lens, th1):
+        th1 = th1[0]  # (1, M') model shard block
+        q1, h2qi, valid, lo = _hash_join_impl(codes, lens, th1, split_len)
+        return q1, h2qi, valid, lo[None]
 
     return jax.jit(shard_map(
-        local_step, mesh=mesh,
-        in_specs=(P("data", None), P("data"), P("data", None), P("data"),
-                  P("model", None), P("model", None), P("model", None),
-                  P("model", None), P(None)),
-        out_specs=(P(None, None), P(None, None)),
+        local, mesh=mesh,
+        in_specs=(P("data", None), P("data"), P("model", None)),
+        out_specs=(P("data", None), P("data", None), P("data", None),
+                   P("model", "data", None)),
         check_vma=False,
     ))
+
+
+def make_tp_stats_step(mesh: Mesh, split_len: int, max_dup: int,
+                       num_nodes: int):
+    """Per-shard duplicate-scan stats + exact psum/pmin merge over the
+    model axis + saturation; output replicated over model."""
+
+    def local(q1, h2qi, valid, lo, lens, th1, th2, tn, toff, seq_lens):
+        th1, th2, tn, toff = (a[0] for a in (th1, th2, tn, toff))
+        cnt, cmin, kmin = _dup_scan_stats_impl(
+            q1, h2qi, valid, lo[0], th1, th2, tn, toff, max_dup,
+            num_nodes)
+        cnt = jax.lax.psum(cnt, "model")
+        cmin = jax.lax.pmin(cmin, "model")
+        kmin = jax.lax.pmin(kmin, "model")
+        return _saturate(cnt, cmin, kmin, lens, seq_lens, split_len)
+
+    return jax.jit(shard_map(
+        local, mesh=mesh,
+        in_specs=(P("data", None), P("data", None), P("data", None),
+                  P("model", "data", None), P("data"),
+                  P("model", None), P("model", None), P("model", None),
+                  P("model", None), P(None)),
+        out_specs=P("data", None),
+        check_vma=False,
+    ))
+
+
+def _pe_batch_tp(fc, fl, rc, rl, stab_args, seq_lens, hash_join_step,
+                 stats_step, num_nodes):
+    """DPxTP batch step: stacked ends through the staged TP kernels."""
+    B = fc.shape[0]
+    codes, lens = _stack_ends(fc, fl, rc, rl)
+    th1, th2, tn, toff = stab_args
+    q1, h2qi, valid, lo = hash_join_step(codes, lens, th1)
+    sat = stats_step(q1, h2qi, valid, lo, lens, th1, th2, tn, toff,
+                     seq_lens)
+    return _pair_matmuls_jit(sat[:B], sat[B:], num_nodes=num_nodes)
 
 
 def infer_pe_links_sharded(ids: Sequence[str], seqs: Sequence[str],
@@ -209,19 +230,20 @@ def infer_pe_links_sharded(ids: Sequence[str], seqs: Sequence[str],
                         reads.short_reads, reads.used_reads)
 
     if n_model == 1:
-        # fast path: read-sharded sort-merge-join probe
+        # read-sharded sort-merge-join probe, table replicated
         hash_join_step = make_dp_hash_join_step(mesh, split_len)
         tab_args_dp = (jnp.asarray(table.h1_biased),
                        jnp.asarray(table.h2), jnp.asarray(table.node),
                        jnp.asarray(table.offset),
                        jnp.asarray(table.seq_lens))
-        step = None
     else:
+        # staged DPxTP: per-shard join + stat-monoid psum/pmin merge
         stab = shard_table(table, n_model)
-        step = make_sharded_pe_step(mesh, split_len, table.max_dup, N)
-        tab_args = (jnp.asarray(stab.h1_biased), jnp.asarray(stab.h2),
-                    jnp.asarray(stab.node), jnp.asarray(stab.offset),
-                    jnp.asarray(table.seq_lens))
+        hash_join_step = make_tp_hash_join_step(mesh, split_len)
+        stats_step = make_tp_stats_step(mesh, split_len, table.max_dup, N)
+        stab_args = (jnp.asarray(stab.h1_biased), jnp.asarray(stab.h2),
+                     jnp.asarray(stab.node), jnp.asarray(stab.offset))
+        seq_lens_j = jnp.asarray(table.seq_lens)
 
     # batch size must divide evenly over the data axis
     bs = -(-batch_size // n_data) * n_data
@@ -244,8 +266,10 @@ def infer_pe_links_sharded(ids: Sequence[str], seqs: Sequence[str],
                 jnp.asarray(rl), tab_args_dp, hash_join_step, split_len,
                 table.max_dup, N)
         else:
-            nm, sm = step(jnp.asarray(fc), jnp.asarray(fl),
-                          jnp.asarray(rc), jnp.asarray(rl), *tab_args)
+            nm, sm = _pe_batch_tp(
+                jnp.asarray(fc), jnp.asarray(fl), jnp.asarray(rc),
+                jnp.asarray(rl), stab_args, seq_lens_j, hash_join_step,
+                stats_step, N)
         node_mat += np.asarray(nm, dtype=np.int64)
         short_mat += np.asarray(sm, dtype=np.int64)
 
