@@ -71,3 +71,15 @@ def test_pe_cli_parity_with_pipeline(tmp_path):
         (tmp_path / "pe_ref").read_bytes()
     assert (out / "st_info").read_bytes() == \
         (tmp_path / "st_ref").read_bytes()
+
+
+def test_cli_clean_error_on_bad_gfa(tmp_path, caplog):
+    ds = make_dataset(str(tmp_path / "data"), num_strains=2, num_bubbles=2,
+                      pairs_per_strain=20, seed=13)
+    bad = tmp_path / "bad.gfa"
+    bad.write_text("S\tx\tACGT\tDP:f:5.0\n")  # no edges -> invalid ksize
+    out = tmp_path / "outx"
+    rc = cli.main(["-a", "spades", "-g", str(bad), "-p", ds.paths_path,
+                   "-fwd", ds.fwd_path, "-rve", ds.rve_path,
+                   "-o", str(out)])
+    assert rc == 1

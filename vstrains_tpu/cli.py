@@ -156,7 +156,14 @@ def main(argv=None) -> int:
         enable_numeric_guards()
 
     from vstrains_tpu import pipeline
-    pipeline.run(args, logger)
+    try:
+        pipeline.run(args, logger)
+    except pipeline.PipelineError as err:
+        logger.error(str(err))
+        logger.error("Pipeline aborted")
+        logger.removeHandler(fileh)
+        logger.removeHandler(console)
+        return 1
 
     elapsed = time.time() - start_time
     console.setFormatter(logging.Formatter("%(message)s"))
