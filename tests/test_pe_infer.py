@@ -126,8 +126,12 @@ def test_kmer_table_palindrome_double_entry():
     # split_len=4; "ACGT" is its own revcomp
     table = build_kmer_table(["ACGT"], 4)
     assert table.num_entries == 2
-    assert table.node.tolist() == [0, 0]
-    assert table.offset.tolist() == [0, 0]
+    m = table.num_entries
+    assert table.node[:m].tolist() == [0, 0]
+    assert table.offset[:m].tolist() == [0, 0]
+    # arrays bucket-pad with never-matching sentinels
+    assert table.h1_biased.shape[0] >= 1024
+    assert (table.h1_biased[m:] == 2**31 - 1).all()
 
 
 def test_process_pe_info_files_match_inmemory(tmp_path):

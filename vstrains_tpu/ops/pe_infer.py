@@ -76,15 +76,30 @@ class KmerTable:
     num_nodes: int
     split_len: int
     seq_lens: np.ndarray    # int32 [N] node sequence lengths
-
-    @property
-    def num_entries(self) -> int:
-        return int(self.h1_biased.shape[0])
+    num_entries: int = 0    # real entries (arrays may be bucket-padded
+                            # with never-matching sentinels)
 
 
-def build_kmer_table(seqs: Sequence[str], split_len: int) -> KmerTable:
+def _bucket_size(n: int) -> int:
+    """Round up to the next power of two (>= 1024): table/shape buckets
+    keep jit shapes stable across datasets so compiled kernels are reused
+    (each new shape costs a full XLA compile on TPU)."""
+    size = 1024
+    while size < n:
+        size *= 2
+    return size
+
+
+def build_kmer_table(seqs: Sequence[str], split_len: int,
+                     pad_to_bucket: bool = True) -> KmerTable:
     """Build the sorted dual-hash table of all valid (k+1)-mers (both
-    strands) of every node sequence."""
+    strands) of every node sequence.
+
+    With pad_to_bucket, entry arrays pad to a power-of-two bucket with
+    never-matching sentinels (h1 = INT32_MAX biased, h2 = -1): the join
+    places real queries before the sentinel run and the duplicate scan's
+    hash-equality masks reject them, so results are unchanged while the
+    device arrays keep bucket-stable shapes."""
     h1s: List[np.ndarray] = []
     h2s: List[np.ndarray] = []
     nodes: List[np.ndarray] = []
@@ -138,15 +153,27 @@ def build_kmer_table(seqs: Sequence[str], split_len: int) -> KmerTable:
     else:
         max_dup = 1
 
+    h1b = (h1 ^ _BIAS).view(np.int32)
+    h2b = h2.view(np.int32)
+    if pad_to_bucket and h1.size:
+        m_pad = _bucket_size(h1.size)
+        pad = m_pad - h1.size
+        if pad:
+            h1b = np.concatenate([h1b, np.full(pad, _INF, np.int32)])
+            h2b = np.concatenate([h2b, np.full(pad, -1, np.int32)])
+            node = np.concatenate([node, np.zeros(pad, np.int32)])
+            offset = np.concatenate([offset, np.zeros(pad, np.int32)])
+
     return KmerTable(
-        h1_biased=(h1 ^ _BIAS).view(np.int32),
-        h2=h2.view(np.int32),
+        h1_biased=h1b,
+        h2=h2b,
         node=node,
         offset=offset,
         max_dup=max_dup,
         num_nodes=len(seqs),
         split_len=split_len,
         seq_lens=seq_lens,
+        num_entries=int(h1.size),
     )
 
 

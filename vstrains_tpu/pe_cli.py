@@ -63,7 +63,8 @@ def main(argv=None) -> int:
 
     split_len = args.kmer_size + 1
     print("Start aligning reads to gfa nodes")
-    reads = load_read_pairs(args.fwd, args.rve, split_len)
+    reads = load_read_pairs(args.fwd, args.rve, split_len,
+                            pad_to_multiple=32)
     print(f"reads: used={reads.used_reads}, with_N={reads.n_reads}, "
           f"short={reads.short_reads}")
     result = infer_pe_links(index2id, index2seq, reads, args.kmer_size,

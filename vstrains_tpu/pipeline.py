@@ -203,7 +203,8 @@ def run(args, logger: logging.Logger = None) -> int:
         with timer.stage("pe_inference", logger):
             ids = list(view1.nodes.keys())
             seqs = [view1.nodes[i].seq for i in ids]
-            reads = load_read_pairs(args.fwd, args.rve, ksize + 1)
+            reads = load_read_pairs(args.fwd, args.rve, ksize + 1,
+                                    pad_to_multiple=32)
             logger.info("reads: used=%d, with_N=%d, short=%d",
                         reads.used_reads, reads.n_reads, reads.short_reads)
             pe_result = infer_pe_links(
