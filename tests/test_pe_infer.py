@@ -167,3 +167,23 @@ def test_sparse_pe_info_matches_dense():
         assert sparse_d[key] == val
     for key in sparse:
         assert dense[key] == sparse[key]
+
+
+def test_iupac_read_characters_never_match():
+    """Reads containing non-ACGT non-'N' characters (IUPAC codes, CR from
+    CRLF files) pass the loader's N-filter but their windows must never
+    hash-match — regression for the device validity mask."""
+    refs = ["ACGTACGTACGTACGTACGTACGT"]
+    k = 7
+    good = refs[0][:16]
+    bad = good[:5] + "R" + good[6:]  # one IUPAC base
+    node_o, short_o, *_ = oracle_pe_matrices(refs, [bad], [bad], k)
+    batch = _make_batch([bad], [bad], k + 1)
+    assert batch.used_reads == 1  # 'R' is not 'N': pair kept
+    res = infer_pe_links(["x"], refs, batch, k, batch_size=4)
+    np.testing.assert_array_equal(res.node_mat, node_o)
+    np.testing.assert_array_equal(res.short_mat, short_o)
+    # and a clean read still matches
+    res2 = infer_pe_links(["x"], refs, _make_batch([good], [good], k + 1),
+                          k, batch_size=4)
+    assert res2.node_mat.sum() > 0

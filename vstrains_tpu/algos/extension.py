@@ -37,12 +37,11 @@ def best_matching(view: GraphView, contig_dict: dict, pe_info: dict,
     """Per-branch kept-links on the final split graph: contig-supported and
     self links first, then any positive PE link (Extension:10-111)."""
     logger = logger or _LOG
+    from vstrains_tpu.algos.contig_ops import contig_map_node
+
     full_link = {}
     non_trivial_branches = get_non_trivial_branches(view)
-    node_to_contig_dict = {}
-    for cno, (c, _, _) in contig_dict.items():
-        for n in c:
-            node_to_contig_dict.setdefault(n, set()).add(cno)
+    node_to_contig_dict, _ = contig_map_node(contig_dict)
     for no, node in non_trivial_branches.items():
         us = [src.vid for src in node.in_neighbors()]
         ws = [tgt.vid for tgt in node.out_neighbors()]

@@ -10,8 +10,8 @@ strand). Identical sequences score 1.0; the 0.99 accept threshold carries
 over.
 
 The reference gates this on cyclic graphs and does not call it from its
-live pipeline (SPAdes.py never invokes tip_removal_s); ours likewise
-exposes it behind the --tip-removal flag.
+live pipeline (SPAdes.py never invokes tip_removal_s); ours runs it in
+the preprocess stage when the CLI --tip-removal flag is set.
 """
 
 from __future__ import annotations

@@ -66,6 +66,11 @@ def build_parser() -> argparse.ArgumentParser:
                         default=1, type=int,
                         help="worker processes for per-component "
                              "extraction")
+    parser.add_argument("--tip-removal", dest="tip_removal",
+                        action="store_true", default=False,
+                        help="collapse source/sink tips on cyclic graphs "
+                             "before PE inference (k-mer containment "
+                             "scoring)")
     return parser
 
 
@@ -156,9 +161,12 @@ def main(argv=None) -> int:
         enable_numeric_guards()
 
     from vstrains_tpu import pipeline
+    from vstrains_tpu.core.contig_io import PathsFormatError
+    from vstrains_tpu.core.gfa import GfaFormatError
     try:
         pipeline.run(args, logger)
-    except pipeline.PipelineError as err:
+    except (pipeline.PipelineError, GfaFormatError,
+            PathsFormatError) as err:
         logger.error(str(err))
         logger.error("Pipeline aborted")
         logger.removeHandler(fileh)

@@ -22,11 +22,7 @@ from typing import List, Tuple
 
 import numpy as np
 
-from vstrains_tpu.core.seq import BAD_CODE
-
-_ENC_N = np.full(256, BAD_CODE, dtype=np.uint8)
-for _i, _b in enumerate(b"ACGT"):
-    _ENC_N[_b] = _i
+from vstrains_tpu.core.seq import BAD_CODE, _ENC as _ENC_N
 
 
 @dataclass

@@ -48,8 +48,9 @@ def quast_eval(files: List[str], ref: str, out_dir: str, quast_path: str,
     """Run MetaQUAST over candidate contig sets
     (parity: quast_evaluation.py:38-60)."""
     ref_file_list = sep_ref(ref, ".", run_id)
-    cmd = [sys.executable if quast_path.endswith(".py") else "python",
-           quast_path, "--unique-mapping", "--report-all-metrics",
+    runner = [sys.executable, quast_path] if quast_path.endswith(".py") \
+        else [quast_path]
+    cmd = [*runner, "--unique-mapping", "--report-all-metrics",
            "-m", "500", "-t", str(threads), *files, "-o", out_dir,
            "-R", ",".join(ref_file_list)]
     print(" ".join(cmd))

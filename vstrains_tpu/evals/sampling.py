@@ -23,7 +23,7 @@ def sample_pairs(fwd_path: str, rve_path: str, out_fwd: str, out_rve: str,
         flines = f.read().split(b"\n")
     with open(rve_path, "rb") as f:
         rlines = f.read().split(b"\n")
-    n = len(flines) // 4
+    n = min(len(flines) // 4, len(rlines) // 4)
     rng = np.random.RandomState(seed)
     keep = rng.random_sample(n) <= 1.0 / sratio
     k = int(keep.sum())

@@ -36,16 +36,21 @@ def _hash_kernel(codes_ref, lens_ref, h1_ref, h2_ref, valid_ref, *,
                  split_len: int, K: int, Kp: int, pow1, pow2):
     codes = codes_ref[:].astype(jnp.int32)  # v5e lacks i8 vector compares
     B, T = codes.shape
+    bad = (codes >= 4).astype(jnp.int32)
     c = jnp.where(codes < 4, codes, 0).astype(jnp.uint32) + jnp.uint32(1)
     h1 = jnp.zeros((B, K), jnp.uint32)
     h2 = jnp.zeros((B, K), jnp.uint32)
+    nbad = jnp.zeros((B, K), jnp.int32)
     for i in range(split_len):
         ci = c[:, i: i + K]
         h1 = h1 + ci * jnp.uint32(int(pow1[i]))
         h2 = h2 + ci * jnp.uint32(int(pow2[i]))
+        nbad = nbad + bad[:, i: i + K]
     win = jax.lax.broadcasted_iota(jnp.int32, (B, Kp), 1)
     lens = lens_ref[:]
-    valid = ((win + split_len) <= lens[:, :1]) & (win < K)
+    valid = (((win + split_len) <= lens[:, :1]) & (win < K)
+             & (jnp.pad(nbad, [(0, 0), (0, Kp - K)],
+                        constant_values=1) == 0))
     pad = [(0, 0), (0, Kp - K)]
     # bias h1 into signed order (the sort-join key domain); h2 raw bitcast
     h1_ref[:] = jnp.pad((h1 ^ jnp.uint32(0x80000000)).astype(jnp.int32),
@@ -161,7 +166,14 @@ def pair_matmuls_pallas(f, r, block: int = None, interpret: bool = False):
         block = 1 << (target.bit_length() - 1)
     block = min(block, B)
     if B % block != 0:
-        block = B  # fall back to a single block
+        # largest power-of-two factor of B within the target; a fallback
+        # to block=B could blow the input VMEM budget
+        import math
+        block = math.gcd(B, block)
+        if 2 * 2 * 4 * block * N > 12 * 1024 * 1024:
+            raise ValueError(
+                f"pair_matmuls_pallas: no dividing block for B={B}, N={N} "
+                "fits the VMEM budget; use the XLA path")
     grid = (max(1, B // block),)
     return pl.pallas_call(
         _pair_kernel,

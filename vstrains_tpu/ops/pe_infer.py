@@ -184,25 +184,34 @@ def build_kmer_table(seqs: Sequence[str], split_len: int,
 def _device_window_hashes(codes: jnp.ndarray, lens: jnp.ndarray,
                           split_len: int):
     """codes: uint8 [B, T]; returns (h1, h2) uint32 [B, K] and valid [B, K]
-    where K = T - split_len + 1."""
+    where K = T - split_len + 1.
+
+    A window is valid iff it lies within the read AND contains no BAD_CODE
+    base: reads with non-ACGT non-'N' characters (IUPAC codes, lowercase,
+    stray CR from CRLF files) pass the loader's N-filter, and their bad
+    positions must never hash-match — reference parity: such string k-mers
+    simply never equal a table k-mer."""
     B, T = codes.shape
     K = T - split_len + 1
+    bad = (codes >= 4).astype(jnp.int32)
     c = jnp.where(codes < 4, codes, 0).astype(jnp.uint32) + jnp.uint32(1)
 
     pow1 = jnp.asarray(_mult_pows(HASH_MULT_1, split_len)[::-1].copy())
     pow2 = jnp.asarray(_mult_pows(HASH_MULT_2, split_len)[::-1].copy())
 
-    def body(i, hs):
-        h1, h2 = hs
+    def body(i, state):
+        h1, h2, nbad = state
         ci = jax.lax.dynamic_slice(c, (0, i), (B, K))
-        return (h1 + ci * pow1[i], h2 + ci * pow2[i])
+        bi = jax.lax.dynamic_slice(bad, (0, i), (B, K))
+        return (h1 + ci * pow1[i], h2 + ci * pow2[i], nbad + bi)
 
-    h1, h2 = jax.lax.fori_loop(
+    h1, h2, nbad = jax.lax.fori_loop(
         0, split_len, body,
-        (jnp.zeros((B, K), jnp.uint32), jnp.zeros((B, K), jnp.uint32)))
+        (jnp.zeros((B, K), jnp.uint32), jnp.zeros((B, K), jnp.uint32),
+         jnp.zeros((B, K), jnp.int32)))
 
     win = jax.lax.broadcasted_iota(jnp.int32, (B, K), 1)
-    valid = (win + split_len) <= lens[:, None]
+    valid = ((win + split_len) <= lens[:, None]) & (nbad == 0)
     return h1, h2, valid
 
 

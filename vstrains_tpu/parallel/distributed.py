@@ -76,7 +76,7 @@ def host_read_stripe(fwd_path: str, rve_path: str, split_len: int,
     batch = load_read_pairs(fwd_path, rve_path, split_len)
     n = batch.num_pairs
     per = -(-n // process_count)
-    lo = process_id * per
+    lo = min(process_id * per, n)
     hi = min(lo + per, n)
     return ReadPairBatch(
         batch.fwd_codes[lo:hi], batch.fwd_len[lo:hi],
@@ -108,15 +108,20 @@ def infer_pe_links_multihost(ids: Sequence[str], seqs: Sequence[str],
     if jax.process_count() == 1:
         return local
 
-    # DCN merge: sum the int64 host matrices across processes
+    # DCN merge: sum the int64 host matrices across processes. TPU jnp
+    # lacks int64, so each matrix travels as (low31, high) int32 halves
+    # and is reassembled exactly on host.
     import jax.numpy as jnp
     from jax.experimental.multihost_utils import process_allgather
 
-    gathered_nm = process_allgather(
-        jnp.asarray(local.node_mat, dtype=jnp.int32))
-    gathered_sm = process_allgather(
-        jnp.asarray(local.short_mat, dtype=jnp.int32))
-    node_mat = np.asarray(gathered_nm, dtype=np.int64).sum(axis=0)
-    short_mat = np.asarray(gathered_sm, dtype=np.int64).sum(axis=0)
+    def merge_int64(mat: np.ndarray) -> np.ndarray:
+        low = jnp.asarray((mat & 0x7FFFFFFF).astype(np.int32))
+        high = jnp.asarray((mat >> 31).astype(np.int32))
+        g_low = np.asarray(process_allgather(low), dtype=np.int64)
+        g_high = np.asarray(process_allgather(high), dtype=np.int64)
+        return (g_low + (g_high << 31)).sum(axis=0)
+
+    node_mat = merge_int64(local.node_mat)
+    short_mat = merge_int64(local.short_mat)
     return PEResult(list(ids), node_mat, short_mat, local.n_reads,
                     local.short_reads, local.used_reads)

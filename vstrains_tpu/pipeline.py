@@ -174,6 +174,9 @@ def run(args, logger: logging.Logger = None) -> int:
         logger.info(">>>STAGE: preprocess")
         with timer.stage("simplification", logger):
             graph_simplification(view0, None, threshold, logger)
+            if getattr(args, "tip_removal", False):
+                from vstrains_tpu.algos.tips import tip_removal_s
+                tip_removal_s(view0, contig_dict, logger)
             write_gfa(view0, f"{temp_dir}/gfa/s_graph_L1.gfa", logger)
             view1 = view0.compact()
             check(view1, "post-simplification")
