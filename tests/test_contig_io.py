@@ -51,3 +51,60 @@ def test_paths_parser_reverse_record_preferred_when_forward_invalid(
     assert len(contig_dict) == 1
     [(cno, (contig, clen, ccov))] = contig_dict.items()
     assert contig == [idx_mapping["1"], idx_mapping["2"]]
+
+
+def test_paths_parser_gapped_subpaths(tmp_path):
+    """SPAdes gapped contigs: ';'-terminated sub-path lines become separate
+    `cno$i` contigs (VStrains_IO.py:412-442, 493-499)."""
+    gfa = tmp_path / "g.gfa"
+    gfa.write_text(
+        "S\t1\tAAAACC\tDP:f:50.0\n"
+        "S\t2\tCCGGGG\tDP:f:40.0\n"
+        "S\t3\tGGTTTT\tDP:f:30.0\n"
+        "S\t4\tTTACAC\tDP:f:20.0\n"
+        "L\t1\t+\t2\t+\t2M\n"
+        "L\t3\t+\t4\t+\t2M\n")
+    view = load_gfa_canonized(str(gfa), _LOG)
+    view0 = view.compact()
+    view0, idx_mapping = reindexing(view0)
+    paths = tmp_path / "contigs.paths"
+    paths.write_text(
+        "NODE_1_length_20_cov_44.0\n"
+        "1+,2+;\n"
+        "3+,4+\n"
+        "NODE_1_length_20_cov_44.0'\n"
+        "4-,3-;\n"
+        "2-,1-\n")
+    contig_dict, contig_info = spades_paths_parser(
+        view0, idx_mapping, str(paths), logger=_LOG)
+    assert set(contig_dict.keys()) == {"1$0", "1$1"}
+    assert contig_dict["1$0"][0] == [idx_mapping["1"], idx_mapping["2"]]
+    assert contig_dict["1$1"][0] == [idx_mapping["3"], idx_mapping["4"]]
+    assert "1$0" in contig_info and "1$1" in contig_info
+
+
+def test_paths_parser_repeat_multiplicity(tmp_path):
+    """A contig revisiting a node records its repeat count and stores the
+    deduplicated path (VStrains_IO.py:484-502)."""
+    gfa = tmp_path / "g.gfa"
+    gfa.write_text(
+        "S\t1\tAAAACC\tDP:f:50.0\n"
+        "S\t2\tCCGGGG\tDP:f:40.0\n"
+        "L\t1\t+\t2\t+\t2M\n"
+        "L\t2\t+\t1\t+\t2M\n")
+    view = load_gfa_canonized(str(gfa), _LOG)
+    view0 = view.compact()
+    view0, idx_mapping = reindexing(view0)
+    paths = tmp_path / "contigs.paths"
+    paths.write_text(
+        "NODE_1_length_20_cov_44.0\n"
+        "1+,2+,1+\n"
+        "NODE_1_length_20_cov_44.0'\n"
+        "1-,2-,1-\n")
+    contig_dict, contig_info = spades_paths_parser(
+        view0, idx_mapping, str(paths), logger=_LOG)
+    [(cno, (contig, _, _))] = contig_dict.items()
+    assert contig == [idx_mapping["1"], idx_mapping["2"]]  # deduped
+    _, repeat = contig_info[cno]
+    assert repeat[idx_mapping["1"]] == 2
+    assert repeat[idx_mapping["2"]] == 1
