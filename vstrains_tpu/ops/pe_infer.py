@@ -546,6 +546,16 @@ def infer_pe_links(ids: Sequence[str], seqs: Sequence[str],
     logger.info("kmer table: %d entries, max_dup=%d, %d nodes",
                 table.num_entries, table.max_dup, N)
 
+    # the per-batch stats tensors are dense (2*batch, N+1) int32 x3; clamp
+    # the batch so they stay within ~1.5GB of HBM on big (metaSPAdes-scale)
+    # graphs
+    budget_rows = max(512, (1_500_000_000 // (12 * (N + 1))) // 2)
+    if batch_size > budget_rows:
+        clamped = max(512, 1 << (budget_rows.bit_length() - 1))
+        logger.info("pe batch clamped %d -> %d for N=%d nodes",
+                    batch_size, clamped, N)
+        batch_size = clamped
+
     node_mat = np.zeros((N, N), dtype=np.int64)
     short_mat = np.zeros((N, N), dtype=np.int64)
     if reads.num_pairs == 0 or table.num_entries == 0:
