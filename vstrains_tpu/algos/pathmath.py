@@ -7,7 +7,7 @@ lives in ops/graph_ops.py.
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 from vstrains_tpu.core.graph import GraphView, Vertex
 

@@ -17,7 +17,7 @@ the preprocess stage when the CLI --tip-removal flag is set.
 from __future__ import annotations
 
 import logging
-from typing import Dict, List
+from typing import List
 
 import numpy as np
 

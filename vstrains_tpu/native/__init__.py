@@ -7,7 +7,6 @@ import ctypes
 import logging
 import os
 import subprocess
-import tempfile
 from typing import Optional
 
 _LOG = logging.getLogger(__name__)
