@@ -555,6 +555,16 @@ def infer_pe_links(ids: Sequence[str], seqs: Sequence[str],
         logger.info("pe batch clamped %d -> %d for N=%d nodes",
                     batch_size, clamped, N)
         batch_size = clamped
+    # and don't pad small datasets up to a huge batch (wasted compute and
+    # a needless giant-shape compile)
+    if reads.num_pairs and batch_size > reads.num_pairs:
+        clamped = 512
+        while clamped < reads.num_pairs:
+            clamped *= 2
+        if clamped < batch_size:
+            logger.info("pe batch clamped %d -> %d for %d pairs",
+                        batch_size, clamped, reads.num_pairs)
+            batch_size = clamped
 
     node_mat = np.zeros((N, N), dtype=np.int64)
     short_mat = np.zeros((N, N), dtype=np.int64)
