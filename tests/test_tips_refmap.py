@@ -73,3 +73,16 @@ def test_strain_accuracy(tmp_path):
     out = strain_accuracy({"A1": [["x"], len(hap), 10.0]}, v, str(ref),
                           _LOG)
     assert out == [("A1", "s1", 1.0)]
+
+
+def test_dot_export(tmp_path):
+    from vstrains_tpu.evals.graphviz import write_dot
+    v = new_view()
+    a = v.add_vertex("a&b", 10.0, "ACGT")
+    c = v.add_vertex("c*0", 20.0, "TTTT")
+    v.add_edge(a, c, 2, flow=12.5)
+    p = tmp_path / "g.dot"
+    write_dot(v, str(p))
+    text = p.read_text()
+    assert '"a&b" -> "c*0"' in text
+    assert "digraph assembly" in text
