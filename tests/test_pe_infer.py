@@ -187,3 +187,20 @@ def test_iupac_read_characters_never_match():
     res2 = infer_pe_links(["x"], refs, _make_batch([good], [good], k + 1),
                           k, batch_size=4)
     assert res2.node_mat.sum() > 0
+
+
+def test_probe_modes_agree():
+    """The legacy searchsorted probe (cross-check implementation) and the
+    sort-merge-join default produce identical matrices."""
+    rng = np.random.RandomState(31)
+    k = 13
+    refs = _random_refs(rng, 5, [70, 90, 110, 130, 150])
+    fwd, rve = _sample_reads(rng, refs, 60, 35, k)
+    batch = _make_batch(fwd, rve, k + 1)
+    ids = [str(i) for i in range(5)]
+    a = infer_pe_links(ids, refs, batch, k, batch_size=32,
+                       probe_mode="sort")
+    b = infer_pe_links(ids, refs, batch, k, batch_size=32,
+                       probe_mode="searchsorted")
+    np.testing.assert_array_equal(a.node_mat, b.node_mat)
+    np.testing.assert_array_equal(a.short_mat, b.short_mat)
