@@ -112,3 +112,32 @@ def test_recovery_with_sequencing_errors(tmp_path):
     recovered = set(seqs.values())
     hits = sum(1 for hap in ds.true_haplotypes if hap in recovered)
     assert hits == 3, f"only {hits}/3 haplotypes reconstructed"
+
+
+@pytest.mark.slow
+def test_dev_mode_with_reference_eval(tmp_path, caplog):
+    """-r REF.fasta turns on reference-guided evaluation at every stage
+    (the reference's dev-mode integration-test role, SURVEY section 4)."""
+    data_dir = tmp_path / "data"
+    out = tmp_path / "out"
+    ds = make_dataset(str(data_dir), num_strains=2, num_bubbles=2,
+                      pairs_per_strain=300, seed=33)
+    ref_fa = tmp_path / "refs.fasta"
+    with open(ref_fa, "w") as f:
+        for i, hap in enumerate(ds.true_haplotypes):
+            f.write(f">strain{i}\n{hap}\n")
+    for sub in ["gfa", "tmp", "paf", "aln"]:
+        os.makedirs(out / sub)
+    args = SimpleNamespace(
+        gfa_file=ds.gfa_path, path_file=ds.paths_path,
+        fwd=ds.fwd_path, rve=ds.rve_path, output_dir=str(out),
+        min_cov=None, min_len=250, dev=True, pe_batch_size=256,
+        resume=False, ref_file=str(ref_fa))
+    import logging as _logging
+    with caplog.at_level(_logging.INFO, logger="e2e"):
+        pipeline.run(args, _LOG)
+    # the final strain-accuracy report scored both strains as exact
+    acc_lines = [r.message for r in caplog.records
+                 if "containment" in r.message]
+    assert len(acc_lines) >= 2
+    assert all("1.0000" in line for line in acc_lines)
