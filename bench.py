@@ -41,6 +41,21 @@ def main():
     n_pairs = 300_000
     refs, fwd, rve, k = synth_workload(n_pairs=n_pairs)
 
+    # if the TPU tunnel is unavailable, measure honestly on CPU instead of
+    # producing no datapoint (backend noted on stderr)
+    try:
+        import jax
+        backend = jax.default_backend()
+    except Exception as err:
+        print(f"# backend init failed ({err}); retrying on CPU",
+              file=sys.stderr)
+        import os
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        backend = jax.default_backend()
+    print(f"# backend: {backend}", file=sys.stderr)
+
     from vstrains_tpu.core.fastq import ReadPairBatch, _pack
     from vstrains_tpu.ops.pe_infer import infer_pe_links
 
