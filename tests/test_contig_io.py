@@ -108,3 +108,18 @@ def test_paths_parser_repeat_multiplicity(tmp_path):
     _, repeat = contig_info[cno]
     assert repeat[idx_mapping["1"]] == 2
     assert repeat[idx_mapping["2"]] == 1
+
+
+def test_strain_paths_renders_minus_orientation(tmp_path):
+    """keep_original mode maps ids back through reindexing and renders a
+    '-X' original as 'X-' (VStrains_IO.py:577-584)."""
+    from vstrains_tpu.core.contig_io import contig_dict_to_path
+    # idx_mapping: canonized original id -> dense idx
+    idx_mapping = {"7": "0", "-9": "1"}
+    strain_dict = {"A1": [["0", "1*0", "0&1"], 100, 50.0]}
+    out = tmp_path / "strain.paths"
+    contig_dict_to_path(strain_dict, str(out), idx_mapping, True)
+    text = out.read_text()
+    assert "NODE_A1_100_50.0" in text
+    # 0 -> orig 7 ; 1*0 -> 1 -> orig -9 -> rendered 9- ; 0&1 -> 7,9-
+    assert "7,9-,7,9-" in text
