@@ -70,7 +70,7 @@ def simp_path_compactification(view: GraphView, contig_dict, pe_info,
     rewritten through the member->merged-id map.
     """
     logger = logger or _LOG
-    logger.info("non-branching path contraction..")
+    logger.info("merging maximal simple paths..")
     simp_path_dict = simple_paths_to_dict(view)
 
     node_to_simp_node = {id_: id_ for id_ in view.nodes.keys()}

@@ -79,7 +79,7 @@ def contig_low_cov_removal(contig_dict: dict, threshold: float,
     logger = logger or _LOG
     for cno in list(contig_dict.keys()):
         if contig_dict[cno][2] <= threshold:
-            logger.debug("remove low coverage contig: %s with cov: %s",
+            logger.debug("dropping contig %s: coverage %s is below the floor",
                          cno, contig_dict[cno][2])
             contig_dict.pop(cno)
 
@@ -108,7 +108,7 @@ def contig_dup_removed_s(contig_dict: dict,
     at-visit-time dup guards, so the kept/dropped outcome is identical.
     """
     logger = logger or _LOG
-    logger.info("drop duplicated contigs..")
+    logger.info("removing duplicate/subset contigs..")
     keys = list(contig_dict.keys())
     order = {c: i for i, c in enumerate(keys)}
     sets = {c: set(contig_dict[c][0]) for c in keys}
@@ -143,7 +143,7 @@ def contig_dup_removed_s(contig_dict: dict,
                 dup_contig_ids.add(cno2)
     for cno in dup_contig_ids:
         contig_dict.pop(cno)
-    logger.debug("duplicated contigs: %s", dup_contig_ids)
+    logger.debug("duplicate contig ids: %s", dup_contig_ids)
     logger.info("done")
     return contig_dict
 
@@ -188,7 +188,7 @@ def contig_dict_remapping(view: GraphView, contig_dict: dict,
                 merge_id(id_mapping.get(id_, set()), id_))
         return rtn_set
 
-    logger.info("contig resolution..")
+    logger.info("expanding contig ids back to base nodes..")
     red_id_mapping: Dict[str, set] = {}
     for id_ in prev_ids:
         all_set = merge_id(id_mapping[id_], id_)
@@ -196,15 +196,15 @@ def contig_dict_remapping(view: GraphView, contig_dict: dict,
         logger.debug("Node %s maps to %s", id_, all_set)
 
     for cno, (contig, _, ccov) in list(contig_dict.items()):
-        logger.debug("Current mapping contig: %s, %s", cno, contig)
+        logger.debug("remapping contig %s: %s", cno, contig)
         paths = map_contig_tree(contig, red_id_mapping)
         if len(paths) < 1:
-            logger.debug("error, contig missed: %s %s", cno, contig)
+            logger.debug("contig %s lost every node during remap: %s", cno, contig)
         elif len(paths) == 1:
             if paths[0] == contig:
-                logger.debug("single mapping, keep original")
+                logger.debug("unique remap; keeping the original path")
             else:
-                logger.debug("single mapping, replace %s", paths[0])
+                logger.debug("unique remap; substituting path %s", paths[0])
                 contig_dict.pop(cno)
                 contig_dict[cno] = [
                     paths[0],
@@ -281,7 +281,7 @@ def concat_overlap_contig(view: GraphView, contig_dict: dict,
     def self_loop(contig):
         return (contig[-1], contig[0]) in view.edges
 
-    logger.info("concat overlapped contig..")
+    logger.info("joining contigs with end-to-end overlap..")
     contig_overlap_dict: Dict[str, list] = {k: [] for k in contig_dict}
     for cno, [contig, _, _] in contig_dict.items():
         for cno2, [contig2, _, _] in contig_dict.items():
@@ -300,7 +300,7 @@ def concat_overlap_contig(view: GraphView, contig_dict: dict,
                             and view.nodes[contig[0]]
                             in view.nodes[contig2[-1]].out_neighbors()):
                         contig_overlap_dict[cno].append((cno2, []))
-    logger.debug("--contig overlap info: %s", contig_overlap_dict)
+    logger.debug("overlap candidates: %s", contig_overlap_dict)
 
     # overlap digraph over contig ids
     nodes_order = list(contig_overlap_dict.keys())
@@ -380,7 +380,7 @@ def concat_overlap_contig(view: GraphView, contig_dict: dict,
             else:
                 cnos += ccno
             concat_contig.extend(contig)
-        logger.debug("concat end-to-end overlap contig: %s -> %s",
+        logger.debug("merging end-overlapping pair %s -> %s",
                      cnos, concat_contig)
         concat_len = path_len(view,
                               [view.nodes[id_] for id_ in concat_contig])
@@ -395,7 +395,7 @@ def strain_repeat_resol(view: GraphView, strain_dict: dict,
     """Re-insert repeated node copies into strains using the per-contig
     repeat multiplicities recorded at parse time (Utilities:800-836)."""
     logger = logger or _LOG
-    logger.info("resolving repeat nodes..")
+    logger.info("re-inserting repeated node copies..")
     for sno, [strain, _, scov] in list(strain_dict.items()):
         cnos = set()
         subids = []

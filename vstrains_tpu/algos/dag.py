@@ -135,9 +135,9 @@ def cyclic_to_dag(view: GraphView, logger: logging.Logger = None):
         e.color = "gray"
         removed_edges.append((fst.vid, snd.vid, e.overlap))
 
-    logger.debug("Turn cyclic graph to dag..")
+    logger.debug("breaking cycles to obtain a DAG..")
     if graph_is_DAG(view):
-        logger.debug("graph is dag already, skip")
+        logger.debug("already acyclic; nothing to do")
     else:
         while not graph_is_DAG(view):
             cycle = retrieve_cycle(view)[0]

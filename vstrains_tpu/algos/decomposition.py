@@ -35,71 +35,71 @@ from vstrains_tpu.core.graph import BLACK, GraphView
 _LOG = logging.getLogger(__name__)
 
 
-def link_split(sec_comb: list, kept_link: dict, in_usage: dict,
-               in_capacity: dict, out_usage: dict, out_capacity: dict,
+def link_split(cand_links: list, accepted_links: dict, in_taken: dict,
+               in_capacity: dict, out_taken: dict, out_capacity: dict,
                logger: logging.Logger) -> None:
     """Primary phase: accept every positive PE link, strongest first
     (Decomposition:7-29)."""
-    logger.debug("attempt to split via paired end information")
-    sorted_sec_comb = sorted(sec_comb, key=lambda x: x[2], reverse=True)
-    for uid, wid, pe in sorted_sec_comb:
+    logger.debug("primary phase: resolving links by PE evidence")
+    ranked_cands = sorted(cand_links, key=lambda x: x[2], reverse=True)
+    for uid, wid, pe in ranked_cands:
         if pe <= 0:
             break
-        logger.debug("-----SEC LINK %s -> %s PE: %s", uid, wid, pe)
-        logger.debug("Capacity: %s -> %s", in_capacity[uid],
+        logger.debug("candidate link %s->%s (pe=%s)", uid, wid, pe)
+        logger.debug("flow capacity in=%s out=%s", in_capacity[uid],
                      out_capacity[wid])
-        logger.debug("- distinct compatiable case, added")
-        in_usage[uid] += 1
-        out_usage[wid] += 1
-        kept_link[(uid, wid)] = ((in_capacity[uid] + out_capacity[wid]) / 2,
+        logger.debug("accepted: positive PE support")
+        in_taken[uid] += 1
+        out_taken[wid] += 1
+        accepted_links[(uid, wid)] = ((in_capacity[uid] + out_capacity[wid]) / 2,
                                  pe)
 
 
-def cov_split(us: list, ws: list, pe_info: dict, sec_comb: list,
-              kept_link: dict, in_usage: dict, in_capacity: dict,
-              out_usage: dict, out_capacity: dict,
+def cov_split(us: list, ws: list, pe_info: dict, cand_links: list,
+              accepted_links: dict, in_taken: dict, in_capacity: dict,
+              out_taken: dict, out_capacity: dict,
               logger: logging.Logger) -> None:
     """Secondary phase: PE links to isolated leaves first, then mutual-best
     coverage matches guarded by a 2|delta| ambiguity test
     (Decomposition:31-88)."""
-    logger.debug("attempt to split via coverage information")
-    sorted_sec_comb = sorted(sec_comb, key=lambda x: x[2], reverse=True)
-    for uid, wid, pe in sorted_sec_comb:
+    logger.debug("secondary phase: resolving links by coverage")
+    ranked_cands = sorted(cand_links, key=lambda x: x[2], reverse=True)
+    for uid, wid, pe in ranked_cands:
         if pe <= 0:
             break
-        if in_usage[uid] > 0 or out_usage[wid] > 0:
+        if in_taken[uid] > 0 or out_taken[wid] > 0:
             continue
-        logger.debug("-----SEC LINK %s -> %s PE: %s-----", uid, wid, pe)
-        logger.debug("- link [ > 0] supported case, added")
-        in_usage[uid] += 1
-        out_usage[wid] += 1
-        kept_link[(uid, wid)] = ((in_capacity[uid] + out_capacity[wid]) / 2,
+        logger.debug("candidate link %s->%s (pe=%s)", uid, wid, pe)
+        logger.debug("accepted: nonzero PE on an unused pair")
+        in_taken[uid] += 1
+        out_taken[wid] += 1
+        accepted_links[(uid, wid)] = ((in_capacity[uid] + out_capacity[wid]) / 2,
                                  pe)
 
-    logger.debug("obtain best match via coverage similarity")
+    logger.debug("matching leftover ends by closest coverage")
     for uid in us:
-        if in_usage[uid] > 0:
+        if in_taken[uid] > 0:
             continue
         opt_ws = sorted(ws, key=lambda wwid: abs(in_capacity[uid]
                                                  - out_capacity[wwid]))
         wid = opt_ws[0]
         opt_us = sorted(us, key=lambda uuid: abs(in_capacity[uuid]
                                                  - out_capacity[wid]))
-        if (opt_us[0] == uid and out_usage[wid] == 0
-                and (uid, wid) not in kept_link):
+        if (opt_us[0] == uid and out_taken[wid] == 0
+                and (uid, wid) not in accepted_links):
             delta = 2 * abs(in_capacity[uid] - out_capacity[wid])
-            logger.debug("Found coverage best match: %s -> %s with cov: "
-                         "%s, %s, delta bound: %s", uid, wid,
+            logger.debug("closest-coverage pair %s->%s "
+                         "(in=%s out=%s, ambiguity bound %s)", uid, wid,
                          in_capacity[uid], out_capacity[wid], delta)
             if (abs(in_capacity[opt_us[1]] - out_capacity[wid]) <= delta
                     or abs(in_capacity[uid] - out_capacity[opt_ws[1]])
                     <= delta):
-                logger.debug("ambiguous matching, skip")
+                logger.debug("runner-up falls inside the ambiguity bound; skipping")
             else:
-                logger.debug("added")
-                in_usage[uid] += 1
-                out_usage[wid] += 1
-                kept_link[(uid, wid)] = (
+                logger.debug("accepted: mutual best coverage match")
+                in_taken[uid] += 1
+                out_taken[wid] += 1
+                accepted_links[(uid, wid)] = (
                     (in_capacity[uid] + out_capacity[wid]) / 2,
                     pe_info[(min(uid, wid), max(uid, wid))])
 
@@ -110,8 +110,8 @@ def balance_split(view: GraphView, contig_dict: dict, pe_info: dict,
     """Resolve N-N non-trivial branches into per-link child nodes `no*i`
     (Decomposition:91-530). Returns the number of branches split."""
     logger = logger or _LOG
-    logger.info("balance split using contigs&paired end links&coverage "
-                "information.. isPrim: %s", is_prim)
+    logger.info("balance split pass (contig + PE + coverage evidence), "
+                "primary=%s", is_prim)
 
     non_trivial_branches = get_non_trivial_branches(view)
     split_branches: List[str] = []
@@ -140,7 +140,7 @@ def balance_split(view: GraphView, contig_dict: dict, pe_info: dict,
             logger.debug("branch %s is not non-trivial, potential bug", no)
             continue
         if len(us) != len(ws):
-            logger.debug("Not N-N split, skip")
+            logger.debug("in/out degree unequal; branch left alone")
             continue
 
         split_via_link = True
@@ -173,14 +173,14 @@ def balance_split(view: GraphView, contig_dict: dict, pe_info: dict,
             logger.debug("support contig %s len %s cov %s: %s", cno, clen,
                          round(ccov, 2), contig[max(loc - 1, 0): loc + 2])
 
-        kept_link: Dict[Tuple[str, str], tuple] = {}
-        sec_comb: List[tuple] = []
-        in_usage = dict.fromkeys(us, 0)
+        accepted_links: Dict[Tuple[str, str], tuple] = {}
+        cand_links: List[tuple] = []
+        in_taken = dict.fromkeys(us, 0)
         in_capacity = {uid: view.edges[(uid, no)].flow for uid in us}
-        out_usage = dict.fromkeys(ws, 0)
+        out_taken = dict.fromkeys(ws, 0)
         out_capacity = {wid: view.edges[(no, wid)].flow for wid in ws}
 
-        logger.debug("align contig link first")
+        logger.debug("contig-spanned links take precedence")
         for uid in us:
             for wid in ws:
                 logger.debug("---------------------")
@@ -196,39 +196,39 @@ def balance_split(view: GraphView, contig_dict: dict, pe_info: dict,
                                  "added", uid)
                     accept = True
                 if accept:
-                    in_usage[uid] += 1
-                    out_usage[wid] += 1
-                    kept_link[(uid, wid)] = (
+                    in_taken[uid] += 1
+                    out_taken[wid] += 1
+                    accepted_links[(uid, wid)] = (
                         (in_capacity[uid] + out_capacity[wid]) / 2, curr_pe)
                 else:
                     logger.debug("secondary choice, process later")
-                    sec_comb.append((uid, wid, curr_pe))
+                    cand_links.append((uid, wid, curr_pe))
 
         if is_prim:
             if split_via_link:
-                link_split(sec_comb, kept_link, in_usage, in_capacity,
-                           out_usage, out_capacity, logger)
+                link_split(cand_links, accepted_links, in_taken, in_capacity,
+                           out_taken, out_capacity, logger)
         else:
-            cov_split(us, ws, pe_info, sec_comb, kept_link, in_usage,
-                      in_capacity, out_usage, out_capacity, logger)
+            cov_split(us, ws, pe_info, cand_links, accepted_links, in_taken,
+                      in_capacity, out_taken, out_capacity, logger)
 
-        if not (all(u == 1 for u in in_usage.values())
-                and all(v == 1 for v in out_usage.values())):
-            logger.debug("->Not satisfy N-N split, skip: %s", kept_link)
+        if not (all(u == 1 for u in in_taken.values())
+                and all(v == 1 for v in out_taken.values())):
+            logger.debug("->Not satisfy N-N split, skip: %s", accepted_links)
             continue
         worst_pair_diff = max(abs(in_capacity[uid] - out_capacity[wid])
-                              for (uid, wid) in kept_link.keys())
+                              for (uid, wid) in accepted_links.keys())
         if worst_pair_diff > 4 * threshold:
             logger.debug("worst pair coverage diff > 4 delta: %s > %s, too "
                          "uneven, skip: %s", worst_pair_diff, 4 * threshold,
-                         kept_link)
+                         accepted_links)
             continue
-        logger.debug("->perform split, all kept links: %s", kept_link)
+        logger.debug("->perform split, all kept links: %s", accepted_links)
 
         split_branches.append(no)
-        link2subs: Dict[Tuple[str, str], str] = {}
+        link_to_children: Dict[Tuple[str, str], str] = {}
         counter = 0
-        for (uid, wid), (sub_flow, pe) in kept_link.items():
+        for (uid, wid), (sub_flow, pe) in accepted_links.items():
             logger.debug("--------> %s - %s", uid, wid)
             sub_id = no + "*" + str(counter)
             counter += 1
@@ -237,7 +237,7 @@ def balance_split(view: GraphView, contig_dict: dict, pe_info: dict,
                           view.edges[(uid, no)].overlap, sub_flow)
             view.add_edge(sub_node, view.nodes[wid],
                           view.edges[(no, wid)].overlap, sub_flow)
-            link2subs[(uid, wid)] = sub_id
+            link_to_children[(uid, wid)] = sub_id
 
         # remap contigs crossing the branch (Decomposition:443-482);
         # the node->contigs index is updated incrementally (the reference
@@ -252,11 +252,11 @@ def balance_split(view: GraphView, contig_dict: dict, pe_info: dict,
             wid = (curr_contig[branch_ind + 1]
                    if branch_ind < len(curr_contig) - 1 else None)
             if uid is not None and wid is not None:
-                curr_contig[branch_ind] = link2subs[(uid, wid)]
+                curr_contig[branch_ind] = link_to_children[(uid, wid)]
                 contig_dict[cno] = [curr_contig, clen, ccov]
                 added_cnos.append(cno)
             elif uid is None and wid is None:
-                for sub_id in link2subs.values():
+                for sub_id in link_to_children.values():
                     new_cno = cno + "$" + str(sub_id.split("*")[-1])
                     contig_dict[new_cno] = [
                         [sub_id],
@@ -264,7 +264,7 @@ def balance_split(view: GraphView, contig_dict: dict, pe_info: dict,
                         view.nodes[sub_id].dp]
                     added_cnos.append(new_cno)
             elif uid is not None and wid is None:
-                for (uid2, _), sub_id in link2subs.items():
+                for (uid2, _), sub_id in link_to_children.items():
                     if uid == uid2:
                         curr_contig[branch_ind] = sub_id
                         new_cno = cno + "$" + str(sub_id.split("*")[-1])
@@ -272,7 +272,7 @@ def balance_split(view: GraphView, contig_dict: dict, pe_info: dict,
                                                 ccov]
                         added_cnos.append(new_cno)
             else:
-                for (_, wid2), sub_id in link2subs.items():
+                for (_, wid2), sub_id in link_to_children.items():
                     if wid == wid2:
                         curr_contig[branch_ind] = sub_id
                         new_cno = cno + "$" + str(sub_id.split("*")[-1])
@@ -296,13 +296,13 @@ def balance_split(view: GraphView, contig_dict: dict, pe_info: dict,
                 node_to_contig_dict.setdefault(n, set()).add(cno)
 
         # invalidate PE info for the new ids (Decomposition:493-503)
-        for (uid, wid), sub_id in link2subs.items():
+        for (uid, wid), sub_id in link_to_children.items():
             fresh_nodes.add(sub_id)
         pe_pop_node(pe_info, no)
 
     pe_normalize_none(pe_info)
-    logger.debug("No of branch be removed: %s", len(set(split_branches)))
-    logger.debug("Split branches: %s", set(split_branches))
+    logger.debug("branches split this round: %s", len(set(split_branches)))
+    logger.debug("split branch ids: %s", set(split_branches))
     logger.info("done")
     return len(set(split_branches))
 
@@ -347,7 +347,7 @@ def trivial_split(view: GraphView, pe_info: dict,
     """Fork (n->1)/(1->n) neighbors of non-trivial branches
     (Decomposition:533-688). Returns (count, id_mapping old->new)."""
     logger = logger or _LOG
-    logger.info("graph trivial split on NT related vertices..")
+    logger.info("trivial forking around non-trivial branches..")
     non_trivial_branches = get_non_trivial_branches(view)
     trivial_split_count = 0
     id_mapping: Dict[str, set] = {id_: set() for id_ in view.nodes.keys()}
@@ -395,7 +395,7 @@ def global_trivial_split(view: GraphView, logger: logging.Logger = None
     """Fork every (n->1)/(1->n) node until fixed point
     (Decomposition:691-819)."""
     logger = logger or _LOG
-    logger.info("graph trivial split..")
+    logger.info("global trivial forking pass..")
     BOUND_ITER = len(view.nodes) ** 2
     has_split = True
     trivial_split_count = 0
@@ -424,10 +424,10 @@ def global_trivial_split(view: GraphView, logger: logging.Logger = None
                 has_split = True
                 trivial_split_count += 1
     if trivial_split_count >= BOUND_ITER:
-        logger.warning("Strange topology detected, exit trivial split "
+        logger.warning("unexpected degree pattern mid-fork; abandoning node "
                        "immediately")
         return None, id_mapping
-    logger.debug("No of trivial branch be removed: %s", trivial_split_count)
+    logger.debug("trivial forks resolved: %s", trivial_split_count)
     logger.info("done")
     return trivial_split_count, id_mapping
 
@@ -482,7 +482,7 @@ def edge_cleaning(view: GraphView, contig_dict: dict, pe_info: dict,
                              edge_to_contig_dict[(u, v)])
                 assigned[(u, v)] = True
             else:
-                logger.debug("support contig: None")
+                logger.debug("no contig spans this link")
     for u, v in assigned.keys():
         if not assigned[(u, v)]:
             force_assign = True
@@ -556,7 +556,7 @@ def iter_graph_disentanglement(view: GraphView, contig_dict: dict,
                 else:
                     break
 
-    logger.debug("Total non-trivial branches removed: %s",
+    logger.debug("non-trivial branches resolved in total: %s",
                  total_removed_branch)
     non_trivial_branches = get_non_trivial_branches(view)
     logger.debug("non-trivial branches (%s) left after paired-end&"

@@ -56,10 +56,10 @@ def best_matching(view: GraphView, contig_dict: dict, pe_info: dict,
             if 0 < loc < len(contig) - 1:
                 con_info.setdefault((contig[loc - 1], contig[loc + 1]),
                                     []).append((cno, clen, ccov))
-        kept_link = {}
-        sec_comb = []
-        in_usage = dict.fromkeys(us, 0)
-        out_usage = dict.fromkeys(ws, 0)
+        accepted_links = {}
+        cand_links = []
+        in_taken = dict.fromkeys(us, 0)
+        out_taken = dict.fromkeys(ws, 0)
         for uid in us:
             for wid in ws:
                 curr_pe = pe_info[(min(uid, wid), max(uid, wid))]
@@ -70,20 +70,20 @@ def best_matching(view: GraphView, contig_dict: dict, pe_info: dict,
                 if uid == wid:
                     accept = True
                 if accept:
-                    in_usage[uid] += 1
-                    out_usage[wid] += 1
-                    kept_link[(uid, wid)] = curr_pe
+                    in_taken[uid] += 1
+                    out_taken[wid] += 1
+                    accepted_links[(uid, wid)] = curr_pe
                 else:
-                    sec_comb.append((uid, wid, curr_pe))
-        sorted_sec_comb = sorted(sec_comb, key=lambda x: x[2], reverse=True)
-        for uid, wid, pe in sorted_sec_comb:
+                    cand_links.append((uid, wid, curr_pe))
+        ranked_cands = sorted(cand_links, key=lambda x: x[2], reverse=True)
+        for uid, wid, pe in ranked_cands:
             if pe > 0:
                 logger.debug("-----SEC LINK %s -> %s PE: %s-----",
                              uid, wid, pe)
-                in_usage[uid] += 1
-                out_usage[wid] += 1
-                kept_link[(uid, wid)] = pe
-        full_link[no] = kept_link
+                in_taken[uid] += 1
+                out_taken[wid] += 1
+                accepted_links[(uid, wid)] = pe
+        full_link[no] = accepted_links
     return full_link
 
 
@@ -186,14 +186,14 @@ def contig_extension(view: GraphView, contig: List[str], ccov: float,
                         curr = curr_links[0]
                         logger.debug("single link next: %s", curr.vid)
                 elif len(curr_links) > 1:
-                    logger.debug("Ambiguous, stop extension")
+                    logger.debug("coverage tie within the ambiguity bound; walk ends")
                     curr = None
                 else:
-                    logger.debug("No link in here, use coverage information")
+                    logger.debug("no PE link at this branch; falling back to coverage")
                     f_assigned = True
             else:
                 curr = None
-                logger.debug("Not in full link or len of path <= 1")
+                logger.debug("branch absent from link table (or single-node path)")
             if f_assigned:
                 in_branches = list(curr.in_neighbors())
                 if len(final_path) > 1 and len(in_branches) > 0:
@@ -220,7 +220,7 @@ def contig_extension(view: GraphView, contig: List[str], ccov: float,
                         curr = None
                 else:
                     curr = None
-                    logger.debug("No Link + Not trivial, stop extension")
+                    logger.debug("no link and branching topology - walk ends here")
             if curr is None:
                 single_bests = sorted(
                     [(onode, onode.dp) for onode in out_branches],
@@ -269,14 +269,14 @@ def contig_extension(view: GraphView, contig: List[str], ccov: float,
                         curr = curr_links[0]
                         logger.debug("prev: %s", curr.vid)
                 elif len(curr_links) > 1:
-                    logger.debug("Ambiguous, stop extension")
+                    logger.debug("coverage tie within the ambiguity bound; walk ends")
                     curr = None
                 else:
-                    logger.debug("No link in here, use coverage information")
+                    logger.debug("no PE link at this branch; falling back to coverage")
                     f_assigned = True
             else:
                 curr = None
-                logger.debug("Not in full link or len of path <= 1")
+                logger.debug("branch absent from link table (or single-node path)")
             if f_assigned:
                 out_branches = list(curr.out_neighbors())
                 if len(final_path) > 1 and len(out_branches) > 0:
@@ -302,7 +302,7 @@ def contig_extension(view: GraphView, contig: List[str], ccov: float,
                         logger.debug("Not best match")
                         curr = None
                 else:
-                    logger.debug("No Link + Not trivial, stop extension")
+                    logger.debug("no link and branching topology - walk ends here")
                     curr = None
             if curr is None:
                 single_bests = sorted(
@@ -410,21 +410,21 @@ def path_extension(view: GraphView, contig_dict: dict, full_link: dict,
             if no not in view.nodes:
                 full_link.pop(no)
             else:
-                kept_link = full_link.pop(no)
+                accepted_links = full_link.pop(no)
                 node = view.nodes[no]
-                for (uid, wid), pe in list(kept_link.items()):
-                    kept_link.pop((uid, wid))
+                for (uid, wid), pe in list(accepted_links.items()):
+                    accepted_links.pop((uid, wid))
                     if (len(red_id_mapping[uid]) == 1
                             or len(red_id_mapping[wid]) == 1):
                         for uuid in sorted(red_id_mapping[uid]):
                             for wwid in sorted(red_id_mapping[wid]):
-                                if ((uuid, wwid) not in kept_link
+                                if ((uuid, wwid) not in accepted_links
                                         and view.nodes[uuid]
                                         in node.in_neighbors()
                                         and view.nodes[wwid]
                                         in node.out_neighbors()):
-                                    kept_link[(uuid, wwid)] = pe
-                full_link[no] = kept_link
+                                    accepted_links[(uuid, wwid)] = pe
+                full_link[no] = accepted_links
         # remap usages
         for no, u in list(usages.items()):
             usages.pop(no)
@@ -436,11 +436,11 @@ def path_extension(view: GraphView, contig_dict: dict, full_link: dict,
             contig_dict.items(), key=lambda tp: tp[1][1])
         contig_dict.pop(longest_cno)
         if all(usages[cn] > 0 for cn in contig):
-            logger.debug("-----> Used previously: %s %s", longest_cno,
+            logger.debug("contig nodes already consumed, dropped: %s %s", longest_cno,
                          contig)
             continue
         if any(view.nodes[no].color == "gray" for no in contig):
-            logger.debug("-----> Some node low cov, skip: %s %s",
+            logger.debug("a path node fell below the coverage floor, contig skipped: %s %s",
                          longest_cno, contig)
             continue
 
@@ -476,12 +476,12 @@ def path_extension(view: GraphView, contig_dict: dict, full_link: dict,
         path_ins = list(path[0].in_neighbors())
         path_outs = list(path[-1].out_neighbors())
         if len(path_ins) == 0 and len(path_outs) == 0:
-            logger.debug("st isolated, add to strain")
+            logger.debug("contig already isolated; emitted directly as a strain")
             reduce_graph_cov(view, usages, full_link, path, pcov,
                              threshold, logger)
         elif len(path_ins) != 0 and len(path_outs) == 0:
             if len(path) > 1:
-                logger.debug("left connected, wait")
+                logger.debug("still connected on the left; re-inserting path node")
                 reduce_graph_cov(view, usages, full_link, path[1:], pcov,
                                  threshold, logger)
                 pnode = view.add_vertex(
@@ -492,7 +492,7 @@ def path_extension(view: GraphView, contig_dict: dict, full_link: dict,
                 usages[pno] = 0
         elif len(path_ins) == 0 and len(path_outs) != 0:
             if len(path) > 1:
-                logger.debug("right connected, wait")
+                logger.debug("still connected on the right; re-inserting path node")
                 reduce_graph_cov(view, usages, full_link, path[:-1], pcov,
                                  threshold, logger)
                 pnode = view.add_vertex(
@@ -503,7 +503,7 @@ def path_extension(view: GraphView, contig_dict: dict, full_link: dict,
                 usages[pno] = 0
         else:
             if len(path) > 1:
-                logger.debug("both connected, wait")
+                logger.debug("still connected on both sides; re-inserting path node")
                 reduce_graph_cov(view, usages, full_link, path[1:-1], pcov,
                                  threshold, logger)
                 if len(path[1:-1]) > 0:
@@ -562,8 +562,8 @@ def path_extension(view: GraphView, contig_dict: dict, full_link: dict,
         us = [src.vid for src in node.in_neighbors()]
         ws = [tgt.vid for tgt in node.out_neighbors()]
         combs = []
-        in_usage = dict.fromkeys(us, 0)
-        out_usage = dict.fromkeys(ws, 0)
+        in_taken = dict.fromkeys(us, 0)
+        out_taken = dict.fromkeys(ws, 0)
         for uid in us:
             for wid in ws:
                 combs.append((uid, wid,
@@ -571,12 +571,12 @@ def path_extension(view: GraphView, contig_dict: dict, full_link: dict,
                                                max(uid, wid))]))
         sorted_comb = sorted(combs, key=lambda x: x[2], reverse=True)
         for uid, wid, lf in sorted_comb:
-            if lf > 0 and in_usage[uid] == 0 and out_usage[wid] == 0:
+            if lf > 0 and in_taken[uid] == 0 and out_taken[wid] == 0:
                 logger.debug("-----SEC LINK %s -> %s LINK: %s-----",
                              uid, wid, lf)
                 final_links[no][(uid, wid)] = lf
-                in_usage[uid] += 1
-                out_usage[wid] += 1
+                in_taken[uid] += 1
+                out_taken[wid] += 1
 
     # extract remaining long unused nodes (Extension:834-875)
     for node in sorted(view.graph.vertices(),

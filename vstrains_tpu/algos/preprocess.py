@@ -42,7 +42,7 @@ def graph_simplification(view: GraphView, contig_dict,
     """Drop every node with dp <= min_cov (and its edges) unless protected
     by a contig (VStrains_Preprocess.py:73-123)."""
     logger = logger or _LOG
-    logger.info("graph simplification")
+    logger.info("pruning low-coverage nodes")
     logger.debug("Total nodes: %d Total edges: %d",
                  len(view.nodes), len(view.edges))
     node_to_contig_dict: Dict[str, set] = {}

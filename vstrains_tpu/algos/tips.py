@@ -197,7 +197,7 @@ def tip_removal_s(view: GraphView, contig_dict: dict,
     that crossed removed tips (Preprocess:191-230)."""
     logger = logger or _LOG
     if not graph_is_DAG(view):
-        logger.info("Graph is Cyclic, tip removal start..")
+        logger.info("cyclic graph: collapsing tips..")
         tip_removed = False
         while not tip_removed:
             tip_removed = tip_removal(view, accept_rate, logger)
@@ -223,5 +223,5 @@ def tip_removal_s(view: GraphView, contig_dict: dict,
                                       [view.nodes[c] for c in subc])
                     contig_dict[cno + "^" + str(i)] = [subc, sublen, ccov]
     else:
-        logger.info("Graph is DAG, tip removal skipped.")
+        logger.info("acyclic graph: tip collapse not needed")
     logger.info("done")

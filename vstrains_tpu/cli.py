@@ -25,13 +25,13 @@ def build_parser() -> argparse.ArgumentParser:
                     "from contigs and assembly graph (SPAdes)")
     parser.add_argument("-a", "--assembler", dest="assembler", type=str,
                         required=True, choices=["spades"],
-                        help="name of the assembler used. [spades]")
+                        help="assembler that produced the inputs (spades)")
     parser.add_argument("-g", "--graph", dest="gfa_file", type=str,
                         required=True,
-                        help="path to the assembly graph, (.gfa format)")
+                        help="assembly graph in GFA 1.0 format")
     parser.add_argument("-p", "--path", dest="path_file", type=str,
                         required=False,
-                        help="contig file from SPAdes (.paths format)")
+                        help="SPAdes contigs.paths file")
     parser.add_argument("-mc", "--minimum_coverage", dest="min_cov",
                         default=None, type=int, help=argparse.SUPPRESS)
     parser.add_argument("-ml", "--minimum_contig_length", dest="min_len",
@@ -40,15 +40,15 @@ def build_parser() -> argparse.ArgumentParser:
                         default=None, type=str, help=argparse.SUPPRESS)
     parser.add_argument("-o", "--output_dir", dest="output_dir",
                         default="acc/", type=str,
-                        help="path to the output directory [default: acc/]")
+                        help="where results are written [default: acc/]")
     parser.add_argument("-d", "--dev_mode", dest="dev", action="store_true",
                         default=False, help=argparse.SUPPRESS)
     parser.add_argument("-fwd", "--fwd_file", dest="fwd", required=True,
                         type=str,
-                        help="paired-end reads, forward strand (.fastq)")
+                        help="forward FASTQ of the read pairs")
     parser.add_argument("-rve", "--rve_file", dest="rve", required=True,
                         type=str,
-                        help="paired-end reads, reverse strand (.fastq)")
+                        help="reverse FASTQ of the read pairs")
     parser.add_argument("--pe-batch-size", dest="pe_batch_size",
                         default=16384, type=int, help=argparse.SUPPRESS)
     parser.add_argument("--resume", dest="resume", action="store_true",
@@ -78,18 +78,18 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
     if (not args.gfa_file) or (not os.path.exists(args.gfa_file)):
-        print("\nPath to the assembly graph is required, (.gfa format)")
+        print("\nAssembly graph (.gfa) not found - check the -g path.")
         print("\nExiting...\n")
         return 1
     args.assembler = args.assembler.lower()
     if args.assembler == "spades":
         if (not args.path_file) or (not os.path.exists(args.path_file)):
-            print("\nPath to Contig file from SPAdes (.paths format) is "
-                  "required for SPAdes assembler option.")
+            print("\nThe spades assembler option needs a contigs.paths "
+                  "file (-p).")
             print("\nExiting...\n")
             return 1
     else:
-        print("\nPlease provide the correct assembler type (SPAdes).")
+        print("\nUnsupported assembler; only spades is available.")
         return 1
 
     if args.min_len is not None:
@@ -115,9 +115,8 @@ def main(argv=None) -> int:
             os.makedirs(args.output_dir + "/paf/")
             os.makedirs(args.output_dir + "/aln/")
         except OSError:
-            print("\nCurrent output directory is not empty")
-            print("Please empty/re-create the output directory: "
-                  + str(args.output_dir))
+            print("\nRefusing to write into a non-empty output directory.")
+            print("Clear or change it first: " + str(args.output_dir))
             print("\nExiting...\n")
             return 1
 
@@ -133,24 +132,24 @@ def main(argv=None) -> int:
     logger.addHandler(fileh)
 
     logger.info("Welcome to vstrains-tpu!")
-    logger.info("System information:")
+    logger.info("Environment:")
     try:
         logger.info("  version: " + str(__version__))
-        logger.info("  Python version: "
+        logger.info("  python: "
                     + ".".join(map(str, sys.version_info[0:3])))
         logger.info("  OS: " + platform.platform())
     except Exception:
-        logger.info("  Problem occurred when getting system information")
+        logger.info("  (environment probe failed)")
     start_time = time.time()
-    logger.info("Input arguments:")
-    logger.info("Assembly type: " + args.assembler)
-    logger.info("Assembly graph file: " + args.gfa_file)
-    logger.info("Forward read file: " + args.fwd)
-    logger.info("Reverse read file: " + args.rve)
-    logger.info("Contig paths file: " + str(args.path_file))
-    logger.info("Output directory: " + os.path.abspath(args.output_dir))
+    logger.info("Inputs:")
+    logger.info("  assembler: " + args.assembler)
+    logger.info("  graph: " + args.gfa_file)
+    logger.info("  forward reads: " + args.fwd)
+    logger.info("  reverse reads: " + args.rve)
+    logger.info("  contig paths: " + str(args.path_file))
+    logger.info("  output dir: " + os.path.abspath(args.output_dir))
 
-    fmt = logging.Formatter("%(asctime)s - %(levelname)s - %(message)s")
+    fmt = logging.Formatter("%(asctime)s %(levelname)s | %(message)s")
     console.setFormatter(fmt)
     fileh.setFormatter(fmt)
 
@@ -168,7 +167,7 @@ def main(argv=None) -> int:
     except (pipeline.PipelineError, GfaFormatError,
             PathsFormatError) as err:
         logger.error(str(err))
-        logger.error("Pipeline aborted")
+        logger.error("Run aborted before results were produced")
         logger.removeHandler(fileh)
         logger.removeHandler(console)
         return 1
@@ -177,10 +176,10 @@ def main(argv=None) -> int:
     console.setFormatter(logging.Formatter("%(message)s"))
     fileh.setFormatter(logging.Formatter("%(message)s"))
     logger.info("")
-    logger.info("Result is stored in {0}/strain.fasta".format(
+    logger.info("Final strains: {0}/strain.fasta".format(
         os.path.abspath(args.output_dir)))
     logger.info("Finished: {0}".format(date.today().strftime("%B %d, %Y")))
-    logger.info("Elapsed time: {0}".format(elapsed))
+    logger.info("Wall time: {0:.2f}s".format(elapsed))
     logger.removeHandler(fileh)
     logger.removeHandler(console)
     return 0

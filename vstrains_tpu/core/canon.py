@@ -32,7 +32,7 @@ def load_gfa_canonized(gfa_path: str,
                        init_ori: int = 1) -> GraphView:
     """Full equivalent of the reference's gfa_to_graph: parse, flip, reduce."""
     logger = logger or _LOG
-    logger.info("Parsing GFA format graph")
+    logger.info("reading GFA into the graph substrate")
     segments, links = parse_gfa(gfa_path)
     logger.info("Parsed gfa file: %d segments, %d links",
                 len(segments), len(links))
@@ -98,7 +98,7 @@ def _flip_graph(graph, node_dict, edge_dict, dp_dict, logger, init_ori=1):
     Parity: VStrains_IO.py:137-269 (the reference's `fifo_queue` is popped
     from the tail, i.e. DFS order; reproduced faithfully).
     """
-    logger.info("flip graph orientation..")
+    logger.info("canonizing strand orientation..")
     pick_dict: Dict[str, str] = {}
     while dp_dict:
         # max-depth seed; first max in insertion order (IO.py:152-156)
@@ -132,7 +132,7 @@ def _flip_graph(graph, node_dict, edge_dict, dp_dict, logger, init_ori=1):
                     a_neg.visited = 0
                     stack.append((node_dict[adj.vid], adj.ori))
 
-    logger.info("final verifying graph..")
+    logger.info("verifying orientation picks..")
     assert len(pick_dict) == len(node_dict)
     for key, item in list(pick_dict.items()):
         v_pos, v_neg = node_dict[key]
@@ -146,7 +146,7 @@ def _flip_graph(graph, node_dict, edge_dict, dp_dict, logger, init_ori=1):
                 logger.debug("pick ambiguous found for %s, keep both twins",
                              key)
                 pick_dict[key] = "t"
-    logger.info("Graph is verified")
+    logger.info("orientation picks verified")
 
     simp_node_dict: Dict[str, Vertex] = {}
     for seg_no, pick in pick_dict.items():

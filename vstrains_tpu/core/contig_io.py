@@ -60,7 +60,7 @@ def spades_paths_parser(view: GraphView, idx_mapping: dict,
     subpaths against the graph, keep the orientation with more mapped nodes
     (VStrains_IO.py:398-515)."""
     logger = logger or logging.getLogger(__name__)
-    logger.info("parsing SPAdes .paths file..")
+    logger.info("reading SPAdes contigs.paths..")
 
     def get_paths(fd, path):
         subpaths = []

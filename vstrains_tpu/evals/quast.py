@@ -75,16 +75,16 @@ def main(argv=None) -> int:
     parser.add_argument("-d", "--contig_dir", dest="idir", default=None,
                         help="directory of .fasta contig files")
     parser.add_argument("-ref", "--ref_file", dest="ref_file", type=str,
-                        required=True, help="ref file (single)")
+                        required=True, help="single-strain reference FASTA")
     parser.add_argument("-o", "--output_dir", dest="output_dir", type=str,
                         required=True)
     args = parser.parse_args(argv)
 
     if args.idir is None and args.files is None:
-        print("Please provide correct query input")
+        print("No usable query FASTA given; nothing to evaluate.")
         return 1
     if args.idir is not None and not os.path.isdir(args.idir):
-        print("Please provide correct directory")
+        print("Output directory argument is missing or invalid.")
         return 1
     files = list(args.files or [])
     if args.idir is not None:

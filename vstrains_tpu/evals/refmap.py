@@ -56,7 +56,7 @@ def map_ref_to_graph(ref_file: str, view: GraphView,
         for ref_no, ref_seq in refs.items():
             if seq in ref_seq or rc in ref_seq:
                 strain_dict.setdefault(ref_no, []).append(no)
-    logger.debug("strain dict mapping")
+    logger.debug("strain-to-node map")
     for ref_no, nodes in strain_dict.items():
         logger.debug("strains: %s Path: %s", ref_no, nodes)
     return strain_dict
@@ -80,7 +80,7 @@ def map_ref_to_contig(contig_dict: dict, view: GraphView, ref_file: str,
             if kmer_containment(seq, ref_seq) >= accept:
                 strain_dict.setdefault(ref_no, set()).add(cno)
     for sno, cnos in strain_dict.items():
-        logger.debug("contig-strains: %s Count: %d - Contigs: %s",
+        logger.debug("strain %s matched by %d contigs: %s",
                      sno, len(cnos), sorted(cnos))
     return strain_dict
 

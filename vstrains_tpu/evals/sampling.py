@@ -31,14 +31,14 @@ def sample_pairs(fwd_path: str, rve_path: str, out_fwd: str, out_rve: str,
         for i in np.flatnonzero(keep):
             of.write(b"\n".join(flines[i * 4: i * 4 + 4]) + b"\n")
             orv.write(b"\n".join(rlines[i * 4: i * 4 + 4]) + b"\n")
-    print(f"total number of reads: {n}")
+    print(f"reads in input: {n}")
     print(f"sample {k} reads given ratio {sratio}")
     return k
 
 
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(
-        prog="sampling", description="Sampling the pairend fastq file")
+        prog="sampling", description="Randomly down-sample a paired FASTQ set")
     parser.add_argument("-s", "--sampling_ratio", dest="sratio", type=int,
                         required=True,
                         help="sampling ratio, 2 for half the dataset")

@@ -47,7 +47,7 @@ def main(argv=None) -> int:
                         required=True)
     args = parser.parse_args(argv)
     if not args.spades:
-        print("SPAdes executable path haven't specified.")
+        print("No SPAdes executable given (use -spades/--path_to_spades).")
         return 1
     return run_spades(args.forward, args.reverse, args.spades,
                       args.output_dir, args.threads)

@@ -94,7 +94,7 @@ def save_coverage_plot(dps: np.ndarray, threshold: float,
     plt.figure(figsize=(16, 8))
     plt.hist(x=dps, bins=min(len(dps), 200))
     plt.axvline(threshold, color="r")
-    plt.title("node coverage bar plot")
+    plt.title("node depth histogram")
     plt.xlabel("depth")
     plt.ylabel("nodes")
     plt.savefig(out_path)

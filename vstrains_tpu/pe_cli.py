@@ -22,22 +22,21 @@ import time
 
 
 def main(argv=None) -> int:
-    print("----------------------Paired-End Information Alignment"
-          "----------------------")
+    print("== PE link inference (TPU engine) ==")
     parser = argparse.ArgumentParser(
         prog="pe_info",
-        description="Align paired-end reads to graph nodes to obtain "
-                    "strong links (TPU engine)")
+        description="Match read pairs against graph-node k-mers and "
+                    "emit the PE/single-strand link count files")
     parser.add_argument("-g", "--gfa", dest="gfa", type=str, required=True,
-                        help="graph, .gfa format")
+                        help="assembly graph (GFA 1.0)")
     parser.add_argument("-o", "--output_dir", dest="dir", type=str,
-                        required=True, help="output directory")
+                        required=True, help="directory for pe_info/st_info")
     parser.add_argument("-f", "--forward", dest="fwd", required=True,
-                        help="forward read, .fastq")
+                        help="forward FASTQ")
     parser.add_argument("-r", "--reverse", dest="rve", required=True,
-                        help="reverse read, .fastq")
+                        help="reverse FASTQ")
     parser.add_argument("-k", "--kmer_size", dest="kmer_size", type=int,
-                        default=128, help="unique kmer size")
+                        default=128, help="graph k; windows are (k+1)-mers")
     parser.add_argument("--batch-size", dest="batch_size", type=int,
                         default=8192)
     args = parser.parse_args(argv)
@@ -62,7 +61,7 @@ def main(argv=None) -> int:
     from vstrains_tpu.ops.pe_infer import infer_pe_links, write_pe_files
 
     split_len = args.kmer_size + 1
-    print("Start aligning reads to gfa nodes")
+    print("matching read pairs against node k-mers")
     reads = load_read_pairs(args.fwd, args.rve, split_len,
                             pad_to_multiple=32)
     print(f"reads: used={reads.used_reads}, with_N={reads.n_reads}, "
@@ -71,8 +70,8 @@ def main(argv=None) -> int:
                             batch_size=args.batch_size)
     write_pe_files(result, f"{out_dir}/pe_info", f"{out_dir}/st_info")
 
-    print("Global time elapsed: ", time.time() - glb_start)
-    print("result stored in: ", f"{out_dir}/pe_info")
+    print(f"wall time: {time.time() - glb_start:.2f}s")
+    print(f"wrote {out_dir}/pe_info and {out_dir}/st_info")
     return 0
 
 

@@ -112,7 +112,7 @@ def run(args, logger: logging.Logger = None) -> int:
 
     # ---- stage 1: parse + canonize (cheap; recomputed unless resuming) ----
     if resume_from is None:
-        logger.info(">>>STAGE: parsing graph and contigs")
+        logger.info("[stage] parse graph + contig paths")
         with timer.stage("parse+canonize", logger):
             view = load_gfa_canonized(args.gfa_file, logger)
             write_gfa(view, f"{temp_dir}/gfa/graph_L0.gfa", logger)
@@ -145,7 +145,7 @@ def run(args, logger: logging.Logger = None) -> int:
                 if dev:
                     from vstrains_tpu.ops.graph_ops import save_coverage_plot
                     save_coverage_plot(numpy.array(dps), threshold,
-                                       f"{temp_dir}/tmp/bar_plot.png")
+                                       f"{temp_dir}/tmp/depth_hist.png")
 
             contig_dict, contig_info = spades_paths_parser(
                 view0, idx_mapping, args.path_file,
@@ -170,7 +170,7 @@ def run(args, logger: logging.Logger = None) -> int:
     if done("pe_links"):
         view1 = load_flipped_gfa(f"{temp_dir}/gfa/s_graph_L1.gfa", logger)
     else:
-        logger.info(">>>STAGE: preprocess")
+        logger.info("[stage] preprocessing")
         with timer.stage("simplification", logger):
             graph_simplification(view0, None, threshold, logger)
             if getattr(args, "tip_removal", False):
@@ -201,7 +201,7 @@ def run(args, logger: logging.Logger = None) -> int:
         dcpy_pe_info = PEInfo(st["dcpy_pe_info"])
         logger.info("resumed stage pe_links (%d pairs)", len(pe_info))
     else:
-        logger.info(">>>STAGE: paired-end link inference")
+        logger.info("[stage] PE link inference")
         with timer.stage("pe_inference", logger):
             ids = list(view1.nodes.keys())
             seqs = [view1.nodes[i].seq for i in ids]
@@ -215,7 +215,7 @@ def run(args, logger: logging.Logger = None) -> int:
                 logger=logger)
             write_pe_files(pe_result, f"{temp_dir}/aln/pe_info",
                            f"{temp_dir}/aln/st_info")
-            logger.info("paired end information stored")
+            logger.info("PE link matrices written")
             pe_info, dcpy_pe_info = pe_info_sparse_from_result(
                 view1.nodes.keys(), pe_result)
             ckpt.save_stage(temp_dir, "pe_links", {
@@ -255,7 +255,7 @@ def run(args, logger: logging.Logger = None) -> int:
         n_comp = len(weakly_connected_components(view2))
         if n_comp > 1:
             mono = False
-            logger.info(">>>STAGE: per-component disentanglement + "
+            logger.info("[stage] per-component disentanglement + "
                         "extension (%d components)", n_comp)
             with timer.stage("per_component_extraction", logger):
                 delta = 0.05 * float(numpy.median(
@@ -278,7 +278,7 @@ def run(args, logger: logging.Logger = None) -> int:
                                  logger)
         assign_edge_flow(viewf)
     else:
-        logger.info(">>>STAGE: graph disentanglement")
+        logger.info("[stage] graph disentanglement")
         with timer.stage("disentanglement", logger):
             delta = 0.05 * float(numpy.median(
                 [v.dp for v in view2.graph.vertices()]))
@@ -306,7 +306,7 @@ def run(args, logger: logging.Logger = None) -> int:
         st = ckpt.load_stage(temp_dir, "extended")
         strain_dict = st["strain_dict"]
     else:
-        logger.info(">>>STAGE: contig path extension")
+        logger.info("[stage] contig path extension")
         with timer.stage("extension", logger):
             full_link = best_matching(viewf, contig_dict, pe_info, logger)
             increment_nt_branch_coverage(viewf, logger)
@@ -321,7 +321,7 @@ def run(args, logger: logging.Logger = None) -> int:
                             {"strain_dict": strain_dict})
 
     # ---- stage 9: finalize ----
-    logger.info(">>>STAGE: final process")
+    logger.info("[stage] finalization")
     with timer.stage("finalize", logger):
         contig_resolve(strain_dict)
         viewl = load_flipped_gfa(f"{temp_dir}/gfa/es_graph_L2.gfa", logger)
@@ -332,7 +332,7 @@ def run(args, logger: logging.Logger = None) -> int:
         strain_repeat_resol(view0, strain_dict, contig_info,
                             copy_contig_dict, logger)
 
-        logger.info(">>>STAGE: generate result")
+        logger.info("[stage] write results")
         contig_dict_to_fasta(view0, strain_dict,
                              f"{temp_dir}/strain.fasta")
         contig_dict_to_path(strain_dict, f"{temp_dir}/strain.paths",
