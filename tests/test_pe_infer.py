@@ -204,3 +204,93 @@ def test_probe_modes_agree():
                        probe_mode="searchsorted")
     np.testing.assert_array_equal(a.node_mat, b.node_mat)
     np.testing.assert_array_equal(a.short_mat, b.short_mat)
+
+
+def test_probe_lookup_agrees():
+    """The direct-address lookup probe (default) equals the sort-join."""
+    rng = np.random.RandomState(77)
+    k = 13
+    refs = _random_refs(rng, 6, [80, 90, 100, 120, 140, 160])
+    fwd, rve = _sample_reads(rng, refs, 80, 35, k)
+    batch = _make_batch(fwd, rve, k + 1)
+    ids = [str(i) for i in range(6)]
+    a = infer_pe_links(ids, refs, batch, k, batch_size=32,
+                       probe_mode="lookup")
+    b = infer_pe_links(ids, refs, batch, k, batch_size=32,
+                       probe_mode="sort")
+    np.testing.assert_array_equal(a.node_mat, b.node_mat)
+    np.testing.assert_array_equal(a.short_mat, b.short_mat)
+
+
+def _coo_to_dense(keys, counts, n):
+    out = np.zeros((n, n), dtype=np.int64)
+    out[keys // n, keys % n] = counts
+    return out
+
+
+def test_sparse_stats_mode_matches_dense():
+    """The large-N sparse stats path (COO output) must reproduce the dense
+    matrices exactly, including same-end triangular counts and file
+    bytes."""
+    import os
+    import tempfile
+
+    from vstrains_tpu.ops.pe_infer import (pe_info_sparse_from_result,
+                                           write_pe_files)
+
+    rng = np.random.RandomState(5)
+    k = 13
+    n = 7
+    refs = _random_refs(rng, n, [80, 95, 100, 120, 140, 150, 170])
+    fwd, rve = _sample_reads(rng, refs, 120, 35, k)
+    batch = _make_batch(fwd, rve, k + 1)
+    ids = [f"n{i}" for i in range(n)]
+    dense = infer_pe_links(ids, refs, batch, k, batch_size=32,
+                           stats_mode="dense")
+    sparse = infer_pe_links(ids, refs, batch, k, batch_size=32,
+                            stats_mode="sparse")
+    np.testing.assert_array_equal(
+        _coo_to_dense(sparse.pair_keys, sparse.pair_counts, n),
+        dense.node_mat)
+    np.testing.assert_array_equal(
+        _coo_to_dense(sparse.short_keys, sparse.short_counts, n),
+        dense.short_mat)
+
+    pe_d, _ = pe_info_sparse_from_result(ids, dense)
+    pe_s, _ = pe_info_sparse_from_result(ids, sparse)
+    assert dict(pe_d.items()) == dict(pe_s.items())
+
+    with tempfile.TemporaryDirectory() as td:
+        write_pe_files(dense, f"{td}/pe_d", f"{td}/st_d")
+        write_pe_files(sparse, f"{td}/pe_s", f"{td}/st_s")
+        assert (open(f"{td}/pe_d", "rb").read()
+                == open(f"{td}/pe_s", "rb").read())
+        assert (open(f"{td}/st_d", "rb").read()
+                == open(f"{td}/st_s", "rb").read())
+
+
+def test_sparse_cap_overflow_retry(caplog):
+    """A read saturating more nodes than the starting cap triggers the
+    enlarge-and-retry path and still produces exact results."""
+    import logging
+
+    from vstrains_tpu.ops import pe_infer as P
+
+    rng = np.random.RandomState(9)
+    k = 13
+    # 20 identical nodes: every matching read saturates all of them
+    seq = _random_refs(rng, 1, [90])[0]
+    refs = [seq] * 20
+    read = seq[10:45]
+    batch = _make_batch([read] * 8, [read] * 8, k + 1)
+    ids = [str(i) for i in range(20)]
+    dense = infer_pe_links(ids, refs, batch, k, batch_size=8,
+                           stats_mode="dense")
+    with caplog.at_level(logging.INFO, logger="vstrains_tpu.ops.pe_infer"):
+        sparse = infer_pe_links(ids, refs, batch, k, batch_size=8,
+                                stats_mode="sparse")
+    assert isinstance(sparse, P.PESparseResult)
+    assert any("overflowed" in r.message for r in caplog.records)
+    np.testing.assert_array_equal(
+        _coo_to_dense(sparse.pair_keys, sparse.pair_counts, 20),
+        dense.node_mat)

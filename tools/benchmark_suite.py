@@ -105,11 +105,25 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--out", default=None)
     parser.add_argument("--configs", nargs="*", default=None)
+    parser.add_argument("--expect-backend", default=None,
+                        help="refuse to run (and to write a mislabeled "
+                             "results file) unless jax.default_backend() "
+                             "matches")
     args = parser.parse_args()
     logging.basicConfig(level=logging.WARNING)
 
+    # honor a CPU request even when jax was already imported by
+    # sitecustomize (env var alone is too late then)
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     import jax
-    results = {"backend": jax.default_backend(), "runs": []}
+    backend = jax.default_backend()
+    if args.expect_backend and backend != args.expect_backend:
+        print(f"refusing to run: backend is {backend!r}, expected "
+              f"{args.expect_backend!r}", file=sys.stderr)
+        return 2
+    results = {"backend": backend, "runs": []}
     for name, kwargs in CONFIGS.items():
         if args.configs and name not in args.configs:
             continue
@@ -137,4 +151,4 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

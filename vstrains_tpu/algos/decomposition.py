@@ -106,9 +106,15 @@ def cov_split(us: list, ws: list, pe_info: dict, cand_links: list,
 
 def balance_split(view: GraphView, contig_dict: dict, pe_info: dict,
                   threshold: float, is_prim: bool,
-                  logger: logging.Logger = None) -> int:
+                  logger: logging.Logger = None,
+                  scorer=None) -> int:
     """Resolve N-N non-trivial branches into per-link child nodes `no*i`
-    (Decomposition:91-530). Returns the number of branches split."""
+    (Decomposition:91-530). Returns the number of branches split.
+
+    `scorer` (evals.refmap.SplitScorer, dev mode) labels every kept link
+    Correct/False-Positive/Error against reference strains and emits the
+    scatter artifact per pass (reference Decomposition:209-251, 362-416,
+    509-529)."""
     logger = logger or _LOG
     logger.info("balance split pass (contig + PE + coverage evidence), "
                 "primary=%s", is_prim)
@@ -224,6 +230,8 @@ def balance_split(view: GraphView, contig_dict: dict, pe_info: dict,
                          accepted_links)
             continue
         logger.debug("->perform split, all kept links: %s", accepted_links)
+        if scorer is not None:
+            scorer.score_branch(view, no, us, ws, accepted_links)
 
         split_branches.append(no)
         link_to_children: Dict[Tuple[str, str], str] = {}
@@ -301,6 +309,8 @@ def balance_split(view: GraphView, contig_dict: dict, pe_info: dict,
         pe_pop_node(pe_info, no)
 
     pe_normalize_none(pe_info)
+    if scorer is not None:
+        scorer.plot_pass()
     logger.debug("branches split this round: %s", len(set(split_branches)))
     logger.debug("split branch ids: %s", set(split_branches))
     logger.info("done")
@@ -503,7 +513,8 @@ def edge_cleaning(view: GraphView, contig_dict: dict, pe_info: dict,
 def iter_graph_disentanglement(view: GraphView, contig_dict: dict,
                                pe_info: dict, threshold: float,
                                temp_dir: str = None,
-                               logger: logging.Logger = None) -> GraphView:
+                               logger: logging.Logger = None,
+                               scorer=None) -> GraphView:
     """Outer fixed-point driver over primary (link) then secondary
     (coverage) split phases (Decomposition:908-1042)."""
     logger = logger or _LOG
@@ -519,7 +530,7 @@ def iter_graph_disentanglement(view: GraphView, contig_dict: dict,
         do_trivial_split = True
         while it < BOUND_ITER:
             num_split = balance_split(view, contig_dict, pe_info, threshold,
-                                      is_prim, logger)
+                                      is_prim, logger, scorer=scorer)
             view = store_reinit_graph(
                 view, ckpt(f"split_graph_L{iterCount}d.gfa"), logger)
             simp_path_compactification(view, contig_dict, pe_info, logger)

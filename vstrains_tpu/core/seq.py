@@ -86,14 +86,73 @@ def _mult_pows(mult: np.uint32, n: int) -> np.ndarray:
     return pows
 
 
+def _mult_inverse(mult: np.uint32) -> int:
+    """Multiplicative inverse of an odd multiplier mod 2^32 (Newton)."""
+    m = int(mult)
+    x = m  # correct mod 2^3; each step doubles the valid bits
+    for _ in range(5):
+        x = (x * (2 - m * x)) & 0xFFFFFFFF
+    assert (x * m) & 0xFFFFFFFF == 1
+    return x
+
+
+def _inv_pows(mult: np.uint32, n: int) -> np.ndarray:
+    """[M^0, M^-1, ..., M^-(n-1)] mod 2^32."""
+    return _mult_pows(np.uint32(_mult_inverse(mult)), n)
+
+
+def prefix_hash_weights(L: int, T: int):
+    """Host-precomputed weight tables for the prefix-sum window hash.
+
+    For each lane: position weights w[i] = M^-i (length T) and window
+    scales s[j] = M^(j+L-1) (length T - L + 1).  With
+    P[j] = sum_{i<j} c[i] * w[i]  (prefix sums mod 2^32),
+    the window hash  h[j] = sum_t c[j+t] * M^(L-1-t)  factors exactly as
+    (P[j+L] - P[j]) * s[j]:  one cumsum + one subtraction + one multiply
+    replaces the L-term inner loop — O(T) instead of O(L*(T-L)) per
+    sequence, bit-identical mod 2^32.
+    """
+    K = T - L + 1
+    out = []
+    for mult in (HASH_MULT_1, HASH_MULT_2):
+        w = _inv_pows(mult, T)
+        pows = _mult_pows(mult, L + K)
+        s = pows[L - 1: L - 1 + K].copy()
+        out.append((w, s))
+    return out
+
+
 def window_hashes_np(codes: np.ndarray, L: int):
     """All length-L window hashes of a code array, host/numpy version.
 
     Returns (h1, h2, valid): each of shape (len(codes) - L + 1,) — uint32,
     uint32, bool. A window is valid iff it contains no BAD_CODE.
 
-    hash lane: h = sum_i (code[i] + 1) * M^(L-1-i) mod 2^32.
+    hash lane: h = sum_i (code[i] + 1) * M^(L-1-i) mod 2^32, computed via
+    the prefix-sum factorization (see prefix_hash_weights).
     """
+    n = int(codes.shape[0])
+    w = n - L + 1
+    if w <= 0:
+        z = np.zeros(0, dtype=np.uint32)
+        return z, z.copy(), np.zeros(0, dtype=bool)
+    bad = (codes >= 4).astype(np.int32)
+    bad_prefix = np.concatenate([[0], np.cumsum(bad)])
+    valid = (bad_prefix[L:] - bad_prefix[:-L]) == 0
+
+    c = (np.where(codes < 4, codes, 0).astype(np.uint32) + np.uint32(1))
+    out = []
+    with np.errstate(over="ignore"):
+        for weights, scales in prefix_hash_weights(L, n):
+            pref = np.zeros(n + 1, dtype=np.uint32)
+            np.cumsum(c * weights, dtype=np.uint32, out=pref[1:])
+            out.append((pref[L:] - pref[:-L]) * scales)
+    return out[0], out[1], valid
+
+
+def _window_hashes_np_direct(codes: np.ndarray, L: int):
+    """Direct L-term evaluation of the window hash (the definition);
+    kept as the oracle for testing the prefix-sum factorization."""
     n = int(codes.shape[0])
     w = n - L + 1
     if w <= 0:
@@ -107,7 +166,6 @@ def window_hashes_np(codes: np.ndarray, L: int):
     out = []
     for mult in (HASH_MULT_1, HASH_MULT_2):
         pows = _mult_pows(mult, L)[::-1].copy()  # M^(L-1) .. M^0
-        # h[w] = sum_i c[w+i] * pows[i]  — computed as L shifted fused adds.
         with np.errstate(over="ignore"):
             h = np.zeros(w, dtype=np.uint32)
             for i in range(L):

@@ -47,8 +47,8 @@ import jax.numpy as jnp
 
 from vstrains_tpu.core.fastq import ReadPairBatch
 from vstrains_tpu.core.seq import (HASH_MULT_1, HASH_MULT_2, _mult_pows,
-                                   encode_seq, revcomp_codes,
-                                   window_hashes_np)
+                                   encode_seq, prefix_hash_weights,
+                                   revcomp_codes, window_hashes_np)
 
 _LOG = logging.getLogger(__name__)
 
@@ -78,6 +78,13 @@ class KmerTable:
     seq_lens: np.ndarray    # int32 [N] node sequence lengths
     num_entries: int = 0    # real entries (arrays may be bucket-padded
                             # with never-matching sentinels)
+    # direct-address index: bucket_starts[x] = first table position whose
+    # h1 >> bucket_shift >= x. Turns the per-batch join into one gather
+    # (no per-batch sort); the duplicate scan bounded by scan_depth (max
+    # bucket population) then verifies exact hash equality.
+    bucket_starts: Optional[np.ndarray] = None  # int32 [2^b + 1]
+    bucket_shift: int = 32
+    scan_depth: int = 1
 
 
 def _bucket_size(n: int) -> int:
@@ -164,7 +171,24 @@ def build_kmer_table(seqs: Sequence[str], split_len: int,
             node = np.concatenate([node, np.zeros(pad, np.int32)])
             offset = np.concatenate([offset, np.zeros(pad, np.int32)])
 
+    # direct-address bucket index over the REAL entries (sentinel padding
+    # excluded so it cannot inflate the scan depth)
+    if h1.size:
+        bits = max(10, min(26, int(np.ceil(np.log2(2 * h1.size)))))
+        shift = 32 - bits
+        buckets = (h1 >> np.uint32(shift)).astype(np.int64)
+        starts = np.searchsorted(buckets, np.arange(
+            (1 << bits) + 1, dtype=np.int64), side="left").astype(np.int32)
+        scan_depth = int(np.max(np.diff(starts))) if h1.size else 1
+    else:
+        shift = 32
+        starts = np.zeros(2, np.int32)
+        scan_depth = 1
+
     return KmerTable(
+        bucket_starts=starts,
+        bucket_shift=shift,
+        scan_depth=max(scan_depth, 1),
         h1_biased=h1b,
         h2=h2b,
         node=node,
@@ -186,6 +210,11 @@ def _device_window_hashes(codes: jnp.ndarray, lens: jnp.ndarray,
     """codes: uint8 [B, T]; returns (h1, h2) uint32 [B, K] and valid [B, K]
     where K = T - split_len + 1.
 
+    Uses the prefix-sum factorization (core/seq.prefix_hash_weights): one
+    uint32 cumsum along the read + a windowed difference + a per-window
+    scale gives every window hash — O(T) per read instead of the O(L*K)
+    shifted-add loop, bit-identical mod 2^32.
+
     A window is valid iff it lies within the read AND contains no BAD_CODE
     base: reads with non-ACGT non-'N' characters (IUPAC codes, lowercase,
     stray CR from CRLF files) pass the loader's N-filter, and their bad
@@ -196,23 +225,20 @@ def _device_window_hashes(codes: jnp.ndarray, lens: jnp.ndarray,
     bad = (codes >= 4).astype(jnp.int32)
     c = jnp.where(codes < 4, codes, 0).astype(jnp.uint32) + jnp.uint32(1)
 
-    pow1 = jnp.asarray(_mult_pows(HASH_MULT_1, split_len)[::-1].copy())
-    pow2 = jnp.asarray(_mult_pows(HASH_MULT_2, split_len)[::-1].copy())
+    (w1, s1), (w2, s2) = prefix_hash_weights(split_len, T)
+    hs = []
+    for w, s in ((w1, s1), (w2, s2)):
+        p = jnp.cumsum(c * jnp.asarray(w)[None, :], axis=1)
+        p = jnp.pad(p, ((0, 0), (1, 0)))
+        hs.append((p[:, split_len:] - p[:, :K]) * jnp.asarray(s)[None, :])
 
-    def body(i, state):
-        h1, h2, nbad = state
-        ci = jax.lax.dynamic_slice(c, (0, i), (B, K))
-        bi = jax.lax.dynamic_slice(bad, (0, i), (B, K))
-        return (h1 + ci * pow1[i], h2 + ci * pow2[i], nbad + bi)
-
-    h1, h2, nbad = jax.lax.fori_loop(
-        0, split_len, body,
-        (jnp.zeros((B, K), jnp.uint32), jnp.zeros((B, K), jnp.uint32),
-         jnp.zeros((B, K), jnp.int32)))
+    nb = jnp.cumsum(bad, axis=1)
+    nb = jnp.pad(nb, ((0, 0), (1, 0)))
+    nbad = nb[:, split_len:] - nb[:, :K]
 
     win = jax.lax.broadcasted_iota(jnp.int32, (B, K), 1)
     valid = ((win + split_len) <= lens[:, None]) & (nbad == 0)
-    return h1, h2, valid
+    return hs[0], hs[1], valid
 
 
 # --------------------------------------------------------------------------
@@ -337,6 +363,28 @@ _hash_join_kernel = partial(jax.jit, static_argnames=("split_len",))(
     _hash_join_impl)
 
 
+def _hash_lookup_impl(codes, lens, bucket_starts, split_len: int,
+                      shift: int):
+    """Window hashes + direct-address table lookup.
+
+    Replaces the per-batch sort-merge join with one gather into the
+    host-built bucket index (bucket = h1 >> shift over the hash-sorted
+    table): `lo` points at the start of the query's bucket, and the
+    bounded duplicate scan's h1-equality test skips any leading
+    non-matching entries. Eliminates the O((Q+M) log^2) per-batch sort —
+    the table is indexed once at build time instead.
+    """
+    h1q, h2q, valid = _device_window_hashes(codes, lens, split_len)
+    bucket = (h1q >> jnp.uint32(shift)).astype(jnp.int32)
+    lo = bucket_starts[bucket]
+    q1 = (h1q ^ jnp.uint32(0x80000000)).astype(jnp.int32)
+    return q1, h2q.astype(jnp.int32), valid, lo
+
+
+_hash_lookup_kernel = partial(
+    jax.jit, static_argnames=("split_len", "shift"))(_hash_lookup_impl)
+
+
 @jax.jit
 def _join_from_q1(q1, tab_h1):
     """Sort-merge join for pre-computed (already sign-biased) query hashes
@@ -407,6 +455,138 @@ def _pair_matmuls_jit(f, r, num_nodes: int):
     return _pair_matmuls(f, r, num_nodes)
 
 
+# --------------------------------------------------------------------------
+# sparse per-batch stats (large-N path)
+#
+# The dense stats tensors are (2B, N+1) int32 x3 — at metaSPAdes scale
+# (N ~ 50k nodes) they would force the batch below sort-join amortization.
+# This path never materializes anything N-wide per batch: expanded
+# (window, table-entry) matches are row-sorted by node id, per-(read, node)
+# stats fall out of segmented scans over each row, and the saturated nodes
+# compact into a small (2B, cap) list. Link counts then accumulate
+# sparsely on host as (u*N+v) -> count COO pairs.
+# --------------------------------------------------------------------------
+
+def _segmented_scans(startf, off_s, start_val, kidx_s):
+    """Row-wise segmented (min, max, min) scans with reset flags: within
+    each run (segment) of a sorted row, propagates the run's min offset,
+    start position, and min k-index. One associative scan, shared flags."""
+
+    def comb(a, b):
+        fa, ma, sa, ka = a
+        fb, mb, sb, kb = b
+        return (fa | fb,
+                jnp.where(fb, mb, jnp.minimum(ma, mb)),
+                jnp.where(fb, sb, jnp.maximum(sa, sb)),
+                jnp.where(fb, kb, jnp.minimum(ka, kb)))
+
+    _, offmin, startpos, kmin = jax.lax.associative_scan(
+        comb, (startf, off_s, start_val, kidx_s), axis=1)
+    return offmin, startpos, kmin
+
+
+@partial(jax.jit, static_argnames=("split_len", "depth", "cap"))
+def _stats_sparse_kernel(q1, h2qi, valid, lo, lens, tab_h1, tab_h2,
+                         tab_node, tab_off, seq_lens, split_len: int,
+                         depth: int, cap: int):
+    """Per-read saturated node lists without any N-wide tensor.
+
+    Returns (sat_nodes [2B, cap] int32 ascending, -1 padded; overflow
+    bool: some read saturated more than cap nodes — the driver retries
+    the whole run with a larger cap, results unchanged)."""
+    B2, K = q1.shape
+    M = tab_h1.shape[0]
+    loc = jnp.minimum(lo, M - 1)
+    d = jax.lax.broadcasted_iota(jnp.int32, (1, 1, depth), 2)
+    idx = jnp.minimum(loc[:, :, None] + d, M - 1)
+    e_h1 = tab_h1[idx]
+    e_h2 = tab_h2[idx]
+    e_node = tab_node[idx]
+    e_off = tab_off[idx]
+    m = (valid[:, :, None] & (e_h1 == q1[:, :, None])
+         & (e_h2 == h2qi[:, :, None]) & (loc[:, :, None] + d < M))
+
+    R = K * depth
+    node_key = jnp.where(m, e_node, _INF).reshape(B2, R)
+    off_v = jnp.where(m, e_off, _INF).reshape(B2, R)
+    kidx = jax.lax.broadcasted_iota(jnp.int32, (B2, K, depth), 1)
+    kidx_v = jnp.where(m, kidx, _INF).reshape(B2, R)
+
+    node_s, off_s, kidx_s = jax.lax.sort(
+        (node_key, off_v, kidx_v), dimension=1, num_keys=1)
+
+    prev = jnp.concatenate(
+        [jnp.full((B2, 1), -1, jnp.int32), node_s[:, :-1]], axis=1)
+    startf = node_s != prev
+    pos = jax.lax.broadcasted_iota(jnp.int32, (B2, R), 1)
+    start_val = jnp.where(startf, pos, -1)
+    offmin, startpos, kmin = _segmented_scans(startf, off_s, start_val,
+                                              kidx_s)
+
+    nxt = jnp.concatenate(
+        [node_s[:, 1:], jnp.full((B2, 1), -1, jnp.int32)], axis=1)
+    is_end = (node_s != nxt) & (node_s != _INF)
+    cnt = pos - startpos + 1
+
+    # the reference saturation test (PE_Inference.py:39-47) in exact
+    # integers, evaluated at each run end — same algebra as _saturate
+    rl = lens[:, None].astype(jnp.int32)
+    N = seq_lens.shape[0]
+    ref = jnp.take(seq_lens, jnp.clip(node_s, 0, N - 1)).astype(jnp.int32)
+    Rr = jnp.minimum(offmin + ref - 1, offmin - kmin + rl - 1)
+    sat_thresh = Rr - offmin - split_len + 2
+    A = jnp.minimum(rl, ref) - split_len + 1
+    exp_num = A * (rl - split_len)
+    ok = is_end & ((cnt >= sat_thresh) | (cnt * rl >= exp_num))
+
+    sidx = jnp.cumsum(ok.astype(jnp.int32), axis=1) - 1
+    overflow = jnp.any(ok & (sidx >= cap))
+    row = jax.lax.broadcasted_iota(jnp.int32, (B2, R), 0)
+    tgt = jnp.where(ok & (sidx < cap), sidx, cap)
+    out = jnp.full((B2, cap), -1, jnp.int32).at[row, tgt].set(
+        node_s, mode="drop")
+    return out, overflow
+
+
+def _sparse_pairs_np(f_nodes: np.ndarray, r_nodes: np.ndarray, N: int):
+    """COO link keys for one batch from compacted saturated node lists.
+
+    Mirrors the reference pair loops (PE_Inference.py:174-188): PE pairs
+    are the full fwd x rve cross product; same-end pairs are ascending
+    (u at-or-before v in the per-read list, diagonal included)."""
+    fm = f_nodes >= 0
+    rm = r_nodes >= 0
+    pe_keys = (f_nodes.astype(np.int64)[:, :, None] * N
+               + r_nodes.astype(np.int64)[:, None, :])
+    pe = pe_keys[fm[:, :, None] & rm[:, None, :]]
+    C = f_nodes.shape[1]
+    iu, ju = np.triu_indices(C)
+    shorts = []
+    for nodes, mask in ((f_nodes, fm), (r_nodes, rm)):
+        a = nodes[:, iu].astype(np.int64)
+        b = nodes[:, ju].astype(np.int64)
+        mk = mask[:, iu] & mask[:, ju]
+        shorts.append((a * N + b)[mk])
+    return pe, np.concatenate(shorts)
+
+
+def _merge_coo(key_chunks, count_chunks):
+    """Merge per-batch (keys, counts) COO chunks into one sorted unique
+    (keys, counts) pair, vectorized (sort + reduceat)."""
+    if not key_chunks:
+        return (np.zeros(0, np.int64), np.zeros(0, np.int64))
+    keys = np.concatenate(key_chunks)
+    counts = np.concatenate(count_chunks)
+    if keys.size == 0:
+        return (keys, counts.astype(np.int64))
+    order = np.argsort(keys, kind="stable")
+    keys = keys[order]
+    counts = counts[order]
+    starts = np.flatnonzero(
+        np.concatenate([[True], keys[1:] != keys[:-1]]))
+    return keys[starts], np.add.reduceat(counts.astype(np.int64), starts)
+
+
 @jax.jit
 def _accumulate(acc_nm, acc_sm, nm, sm):
     return acc_nm + nm, acc_sm + sm
@@ -440,14 +620,25 @@ def _use_pallas_hash() -> bool:
             and jax.default_backend() == "tpu")
 
 
-def _pe_batch_sorted(fc, fl, rc, rl, tab, split_len, max_dup, num_nodes):
-    """Full batch via the split sort-join kernels.
+@partial(jax.jit, static_argnames=("shift",))
+def _lookup_from_q1(q1, bucket_starts, shift: int):
+    """Bucket lookup for pre-computed (sign-biased) query hashes (the
+    Pallas hash kernel's output path)."""
+    bucket = ((q1.astype(jnp.uint32) ^ jnp.uint32(0x80000000))
+              >> jnp.uint32(shift)).astype(jnp.int32)
+    return bucket_starts[bucket]
+
+
+def _pe_batch_sorted(fc, fl, rc, rl, tab, split_len, max_dup, num_nodes,
+                     lookup=None):
+    """Full batch via the split probe kernels.
 
     Both read ends are stacked into one (2B, T) end-batch so the hash,
-    join, and stats stages each run once per pair batch. On TPU with
-    VSTRAINS_PALLAS=1 the window-hash stage runs as a Pallas kernel
-    (ops/pallas_kernels.py); the fused XLA hash+join kernel is the default
-    — identical results either way.
+    probe, and stats stages each run once per pair batch. `lookup` is
+    (bucket_starts_dev, shift, scan_depth) for the direct-address probe
+    (default); None falls back to the per-batch sort-merge join. On TPU
+    with VSTRAINS_PALLAS=1 the window-hash stage runs as a Pallas kernel
+    (ops/pallas_kernels.py) — identical results on every path.
     """
     tab_h1, tab_h2, tab_node, tab_off, seq_lens = tab
     B = fc.shape[0]
@@ -466,7 +657,17 @@ def _pe_batch_sorted(fc, fl, rc, rl, tab, split_len, max_dup, num_nodes):
         q1 = q1[:, :K]
         h2qi = h2qi[:, :K]
         valid = valid[:, :K].astype(bool)
-        lo = _join_from_q1(q1, tab_h1)
+        if lookup is not None:
+            bstarts, shift, scan_depth = lookup
+            lo = _lookup_from_q1(q1, bstarts, shift=shift)
+            max_dup = scan_depth
+        else:
+            lo = _join_from_q1(q1, tab_h1)
+    elif lookup is not None:
+        bstarts, shift, scan_depth = lookup
+        q1, h2qi, valid, lo = _hash_lookup_kernel(
+            codes, lens, bstarts, split_len=split_len, shift=shift)
+        max_dup = scan_depth
     else:
         q1, h2qi, valid, lo = _hash_join_kernel(codes, lens, tab_h1,
                                                 split_len=split_len)
@@ -514,6 +715,54 @@ def _pe_batch_kernel(fwd_codes, fwd_len, rve_codes, rve_len,
 # driver
 # --------------------------------------------------------------------------
 
+def _prefetch_batches(reads: ReadPairBatch, batch_size: int):
+    """Double-buffered batch feed: a background thread slices, pads, and
+    device_puts the NEXT batch while the main loop dispatches compute on
+    the current one, hiding host prep + h2d transfer behind device time
+    (the stage-overlap/PP axis of SURVEY.md §2; the reference's serial
+    read loop has no analogue)."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=2)
+    B = reads.num_pairs
+
+    def feeder():
+        try:
+            for start in range(0, B, batch_size):
+                end = min(start + batch_size, B)
+                fc = reads.fwd_codes[start:end]
+                rc = reads.rve_codes[start:end]
+                fl = reads.fwd_len[start:end]
+                rl = reads.rve_len[start:end]
+                if end - start < batch_size:
+                    # pad; zero-length reads contribute nothing
+                    pad = batch_size - (end - start)
+                    fc = np.pad(fc, ((0, pad), (0, 0)),
+                                constant_values=255)
+                    rc = np.pad(rc, ((0, pad), (0, 0)),
+                                constant_values=255)
+                    fl = np.pad(fl, (0, pad))
+                    rl = np.pad(rl, (0, pad))
+                q.put((jnp.asarray(fc), jnp.asarray(fl), jnp.asarray(rc),
+                       jnp.asarray(rl)))
+        except Exception as exc:  # surface in the consumer
+            q.put(exc)
+            return
+        q.put(None)
+
+    t = threading.Thread(target=feeder, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is None:
+            break
+        if isinstance(item, Exception):
+            raise item
+        yield item
+    t.join()
+
+
 @dataclass
 class PEResult:
     ids: List[str]
@@ -524,39 +773,56 @@ class PEResult:
     used_reads: int
 
 
+@dataclass
+class PESparseResult:
+    """COO form of the link matrices (the large-N engine output): keys are
+    u * num_nodes + v (int64, sorted unique), counts int64. Semantically
+    identical to PEResult's matrices — node_mat[u, v] == pair count."""
+    ids: List[str]
+    pair_keys: np.ndarray
+    pair_counts: np.ndarray
+    short_keys: np.ndarray
+    short_counts: np.ndarray
+    n_reads: int
+    short_reads: int
+    used_reads: int
+
+
 def infer_pe_links(ids: Sequence[str], seqs: Sequence[str],
                    reads: ReadPairBatch, kmer_size: int,
                    batch_size: int = 16384,
-                   probe_mode: str = "sort",
-                   logger: logging.Logger = None) -> PEResult:
+                   probe_mode: str = "lookup",
+                   stats_mode: str = "auto",
+                   logger: logging.Logger = None):
     """End-to-end PE-link inference for pre-loaded reads.
 
     `kmer_size` is the graph k; windows are (k+1)-mers
-    (PE_Inference.py:114). probe_mode 'sort' uses the sort-merge-join probe
-    (fast path); 'searchsorted' keeps the binary-search kernel (kept for
-    cross-checking). Per-batch count matrices accumulate on device, so the
-    host loop just streams batches and JAX async dispatch pipelines
-    transfer and compute; the int32 device accumulator spills into the
-    int64 host accumulator well before it could overflow.
+    (PE_Inference.py:114). probe_mode 'lookup' (default) probes via the
+    direct-address bucket index (one gather, no per-batch sort); 'sort'
+    uses the sort-merge-join probe; 'searchsorted' keeps the binary-search
+    kernel (kept for cross-checking). All three produce identical
+    matrices. Per-batch count matrices accumulate on device, so the host
+    loop just streams batches and JAX async dispatch pipelines transfer
+    and compute; the int32 device accumulator spills into the int64 host
+    accumulator well before it could overflow.
     """
     logger = logger or _LOG
     split_len = kmer_size + 1
     table = build_kmer_table(seqs, split_len)
     N = table.num_nodes
-    logger.info("kmer table: %d entries, max_dup=%d, %d nodes",
-                table.num_entries, table.max_dup, N)
+    logger.info("kmer table: %d entries, max_dup=%d, scan_depth=%d, "
+                "%d nodes", table.num_entries, table.max_dup,
+                table.scan_depth, N)
 
-    # the per-batch stats tensors are dense (2*batch, N+1) int32 x3; clamp
-    # the batch so they stay within ~1.5GB of HBM on big (metaSPAdes-scale)
-    # graphs
+    # the dense per-batch stats tensors are (2*batch, N+1) int32 x3; when
+    # they would not fit ~1.5GB of HBM at the requested batch (metaSPAdes-
+    # scale graphs), switch to the sparse (read, node)-pair path whose
+    # footprint is independent of N — the batch never shrinks with N
     budget_rows = max(512, (1_500_000_000 // (12 * (N + 1))) // 2)
-    if batch_size > budget_rows:
-        clamped = max(512, 1 << (budget_rows.bit_length() - 1))
-        logger.info("pe batch clamped %d -> %d for N=%d nodes",
-                    batch_size, clamped, N)
-        batch_size = clamped
-    # and don't pad small datasets up to a huge batch (wasted compute and
-    # a needless giant-shape compile)
+    sparse = (stats_mode == "sparse"
+              or (stats_mode == "auto" and batch_size > budget_rows))
+    # don't pad small datasets up to a huge batch (wasted compute and a
+    # needless giant-shape compile)
     if reads.num_pairs and batch_size > reads.num_pairs:
         clamped = 512
         while clamped < reads.num_pairs:
@@ -565,16 +831,29 @@ def infer_pe_links(ids: Sequence[str], seqs: Sequence[str],
             logger.info("pe batch clamped %d -> %d for %d pairs",
                         batch_size, clamped, reads.num_pairs)
             batch_size = clamped
+            if stats_mode == "auto":
+                sparse = batch_size > budget_rows
+
+    if reads.num_pairs == 0 or table.num_entries == 0:
+        node_mat = np.zeros((N, N), dtype=np.int64)
+        short_mat = np.zeros((N, N), dtype=np.int64)
+        return PEResult(list(ids), node_mat, short_mat, reads.n_reads,
+                        reads.short_reads, reads.used_reads)
+
+    if sparse:
+        return _infer_pe_links_sparse(ids, table, reads, batch_size,
+                                      probe_mode, logger)
 
     node_mat = np.zeros((N, N), dtype=np.int64)
     short_mat = np.zeros((N, N), dtype=np.int64)
-    if reads.num_pairs == 0 or table.num_entries == 0:
-        return PEResult(list(ids), node_mat, short_mat, reads.n_reads,
-                        reads.short_reads, reads.used_reads)
 
     tab = (jnp.asarray(table.h1_biased), jnp.asarray(table.h2),
            jnp.asarray(table.node), jnp.asarray(table.offset),
            jnp.asarray(table.seq_lens))
+    lookup = None
+    if probe_mode == "lookup" and table.bucket_starts is not None:
+        lookup = (jnp.asarray(table.bucket_starts), table.bucket_shift,
+                  table.scan_depth)
     if probe_mode == "searchsorted":
         kern = jax.jit(partial(_pe_batch_kernel,
                                split_len=split_len,
@@ -588,25 +867,12 @@ def infer_pe_links(ids: Sequence[str], seqs: Sequence[str],
     # device accumulator to the host int64 one with a wide safety margin
     spill_every = max(1, (2**30) // max(batch_size, 1))
     since_spill = 0
-    for start in range(0, B, batch_size):
-        end = min(start + batch_size, B)
-        fc = reads.fwd_codes[start:end]
-        rc = reads.rve_codes[start:end]
-        fl = reads.fwd_len[start:end]
-        rl = reads.rve_len[start:end]
-        if end - start < batch_size:  # pad; zero-length reads contribute 0
-            pad = batch_size - (end - start)
-            fc = np.pad(fc, ((0, pad), (0, 0)), constant_values=255)
-            rc = np.pad(rc, ((0, pad), (0, 0)), constant_values=255)
-            fl = np.pad(fl, (0, pad))
-            rl = np.pad(rl, (0, pad))
-        args = (jnp.asarray(fc), jnp.asarray(fl), jnp.asarray(rc),
-                jnp.asarray(rl))
+    for args in _prefetch_batches(reads, batch_size):
         if probe_mode == "searchsorted":
             nm, sm = kern(*args, *tab)
         else:
             nm, sm = _pe_batch_sorted(*args, tab, split_len,
-                                      table.max_dup, N)
+                                      table.max_dup, N, lookup=lookup)
         acc_nm, acc_sm = _accumulate(acc_nm, acc_sm, nm, sm)
         since_spill += 1
         if since_spill >= spill_every:
@@ -622,15 +888,105 @@ def infer_pe_links(ids: Sequence[str], seqs: Sequence[str],
                     reads.short_reads, reads.used_reads)
 
 
+def _infer_pe_links_sparse(ids, table: KmerTable, reads: ReadPairBatch,
+                           batch_size: int, probe_mode: str,
+                           logger: logging.Logger,
+                           cap: int = 16) -> "PESparseResult":
+    """Large-N driver: same probe kernels, sparse per-batch stats + host
+    COO accumulation. Footprint is independent of N, so metaSPAdes-scale
+    graphs keep the full batch size."""
+    split_len = table.split_len
+    N = table.num_nodes
+    lookup = None
+    if probe_mode == "lookup" and table.bucket_starts is not None:
+        lookup = (jnp.asarray(table.bucket_starts), table.bucket_shift,
+                  table.scan_depth)
+        depth = table.scan_depth
+    else:
+        depth = table.max_dup
+
+    # clamp by the sparse path's own footprint: ~8 live (2B, K*depth)
+    # int32 planes through sort + scans
+    T = max(reads.fwd_codes.shape[1], reads.rve_codes.shape[1])
+    K = T - split_len + 1
+    row_bytes = max(K * max(depth, 1) * 4 * 8, 1)
+    budget = max(512, (1_500_000_000 // row_bytes) // 2)
+    if batch_size > budget:
+        clamped = max(512, 1 << (budget.bit_length() - 1))
+        logger.info("sparse pe batch clamped %d -> %d (K=%d, depth=%d)",
+                    batch_size, clamped, K, depth)
+        batch_size = clamped
+    logger.info("sparse PE stats path: N=%d, cap=%d, depth=%d, batch=%d",
+                N, cap, depth, batch_size)
+
+    tab_h1 = jnp.asarray(table.h1_biased)
+    tab_h2 = jnp.asarray(table.h2)
+    tab_node = jnp.asarray(table.node)
+    tab_off = jnp.asarray(table.offset)
+    seq_lens = jnp.asarray(table.seq_lens)
+
+    pe_k, pe_c, st_k, st_c = [], [], [], []
+    ovfs = []
+    for fc, fl, rc, rl in _prefetch_batches(reads, batch_size):
+        codes, lens = _stack_ends(fc, fl, rc, rl)
+        if lookup is not None:
+            bstarts, shift, _ = lookup
+            q1, h2qi, valid, lo = _hash_lookup_kernel(
+                codes, lens, bstarts, split_len=split_len, shift=shift)
+        else:
+            q1, h2qi, valid, lo = _hash_join_kernel(
+                codes, lens, tab_h1, split_len=split_len)
+        sat_nodes, ovf = _stats_sparse_kernel(
+            q1, h2qi, valid, lo, lens, tab_h1, tab_h2, tab_node, tab_off,
+            seq_lens, split_len=split_len, depth=depth, cap=cap)
+        ovfs.append(ovf)
+        sn = np.asarray(sat_nodes)
+        b = sn.shape[0] // 2
+        pe, st = _sparse_pairs_np(sn[:b], sn[b:], N)
+        for arr, kl, cl in ((pe, pe_k, pe_c), (st, st_k, st_c)):
+            u, c = np.unique(arr, return_counts=True)
+            kl.append(u)
+            cl.append(c)
+
+    if any(bool(np.asarray(o)) for o in ovfs):
+        if cap >= 256:
+            raise RuntimeError(
+                "a read saturated more than 256 nodes; graph too "
+                "repetitive for the sparse PE path")
+        logger.info("saturated-node cap %d overflowed; retrying with %d",
+                    cap, cap * 4)
+        return _infer_pe_links_sparse(ids, table, reads, batch_size,
+                                      probe_mode, logger, cap=cap * 4)
+
+    pk, pc = _merge_coo(pe_k, pe_c)
+    sk, sc = _merge_coo(st_k, st_c)
+    return PESparseResult(list(ids), pk, pc, sk, sc, reads.n_reads,
+                          reads.short_reads, reads.used_reads)
+
+
 # --------------------------------------------------------------------------
 # file-format parity (aln/pe_info, aln/st_info)
 # --------------------------------------------------------------------------
 
-def write_pe_files(result: PEResult, pe_path: str, st_path: str) -> None:
+def write_pe_files(result, pe_path: str, st_path: str) -> None:
     """Write the N^2-line `u:v:count` files
-    (parity: PE_Inference.py:190-207)."""
+    (parity: PE_Inference.py:190-207). Accepts dense PEResult or COO
+    PESparseResult (rows rebuilt on the fly) — identical bytes."""
     ids = result.ids
     n = len(ids)
+    if isinstance(result, PESparseResult):
+        streams = ((result.pair_keys, result.pair_counts, pe_path),
+                   (result.short_keys, result.short_counts, st_path))
+        for keys, counts, path in streams:
+            with open(path, "w") as fh:
+                for i in range(n):
+                    row = np.zeros(n, dtype=np.int64)
+                    a = np.searchsorted(keys, i * n)
+                    b = np.searchsorted(keys, (i + 1) * n)
+                    row[(keys[a:b] - i * n).astype(np.int64)] = counts[a:b]
+                    fh.write("".join(
+                        f"{ids[i]}:{ids[j]}:{row[j]}\n" for j in range(n)))
+        return
     with open(pe_path, "w") as f_pe, open(st_path, "w") as f_st:
         for i in range(n):
             for j in range(n):
@@ -663,14 +1019,49 @@ def process_pe_info(node_ids: Sequence[str], pe_info_file: str,
     return pe_info, dict(pe_info)
 
 
+def _coo_to_pe_info(node_ids: Sequence[str], result: PESparseResult):
+    """Symmetric PEInfo stores from COO link arrays: fold (u,v)+(v,u)
+    into lexicographic (min,max) id keys, diagonal counted once — the
+    same contract as the dense fold below."""
+    from vstrains_tpu.core.pe_store import PEInfo
+
+    ids = result.ids
+    N = len(ids)
+    keys = np.concatenate([result.pair_keys, result.short_keys])
+    counts = np.concatenate([result.pair_counts, result.short_counts])
+    pe = PEInfo()
+    if keys.size:
+        u = keys // N
+        v = keys % N
+        folded = np.minimum(u, v) * N + np.maximum(u, v)
+        order = np.argsort(folded, kind="stable")
+        folded = folded[order]
+        counts = counts[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], folded[1:] != folded[:-1]]))
+        uniq = folded[starts]
+        sums = np.add.reduceat(counts, starts)
+        node_set = set(node_ids)
+        keep = np.array([vid in node_set for vid in ids], dtype=bool)
+        for k, c in zip(uniq.tolist(), sums.tolist()):
+            i, j = divmod(k, N)
+            if keep[i] and keep[j]:
+                uu, vv = ids[i], ids[j]
+                pe[(min(uu, vv), max(uu, vv))] = int(c)
+    return pe, PEInfo(pe)
+
+
 def pe_info_sparse_from_result(node_ids: Sequence[str],
-                               result: PEResult):
+                               result):
     """Vectorized sparse construction of the symmetric PE-link store:
     equivalent to pe_info_from_result but O(nonzero pairs) instead of
     O(N^2) Python loops, returning PEInfo stores whose missing pairs read
-    as 0 (the reference's dense zero-init contract). Returns
-    (pe_info, dcpy_pe_info)."""
+    as 0 (the reference's dense zero-init contract). Accepts dense
+    PEResult or COO PESparseResult. Returns (pe_info, dcpy_pe_info)."""
     from vstrains_tpu.core.pe_store import PEInfo
+
+    if isinstance(result, PESparseResult):
+        return _coo_to_pe_info(node_ids, result)
 
     ids = result.ids
     node_set = set(node_ids)

@@ -213,9 +213,15 @@ def run(args, logger: logging.Logger = None) -> int:
                 ids, seqs, reads, ksize,
                 batch_size=getattr(args, "pe_batch_size", 16384),
                 logger=logger)
-            write_pe_files(pe_result, f"{temp_dir}/aln/pe_info",
-                           f"{temp_dir}/aln/st_info")
-            logger.info("PE link matrices written")
+            if len(ids) <= 5000:
+                write_pe_files(pe_result, f"{temp_dir}/aln/pe_info",
+                               f"{temp_dir}/aln/st_info")
+                logger.info("PE link matrices written")
+            else:
+                # the reference file format is N^2 lines — pointless and
+                # enormous at this scale; links live in the checkpoint
+                logger.info("aln/pe_info skipped (N=%d nodes: %d-line "
+                            "files)", len(ids), len(ids) ** 2)
             pe_info, dcpy_pe_info = pe_info_sparse_from_result(
                 view1.nodes.keys(), pe_result)
             ckpt.save_stage(temp_dir, "pe_links", {
@@ -282,8 +288,19 @@ def run(args, logger: logging.Logger = None) -> int:
         with timer.stage("disentanglement", logger):
             delta = 0.05 * float(numpy.median(
                 [v.dp for v in view2.graph.vertices()]))
+            scorer = None
+            if getattr(args, "ref_file", None) and getattr(args, "dev",
+                                                           False):
+                from vstrains_tpu.evals.refmap import SplitScorer
+                scorer = SplitScorer(args.ref_file,
+                                     out_dir=f"{temp_dir}/tmp",
+                                     logger=logger)
             viewf = iter_graph_disentanglement(view2, contig_dict, pe_info,
-                                               delta, temp_dir, logger)
+                                               delta, temp_dir, logger,
+                                               scorer=scorer)
+            if scorer is not None:
+                logger.info("split decisions vs reference: %s",
+                            scorer.counts)
             check(viewf, "post-disentanglement")
             contig_dict_to_path(contig_dict,
                                 f"{temp_dir}/tmp/post_contigs.paths")
