@@ -70,3 +70,23 @@ def test_host_read_stripe_partition(tmp_path):
     stripes = [host_read_stripe(str(fq1), str(fq2), 6, pid, 3)
                for pid in range(3)]
     assert [s.num_pairs for s in stripes] == [4, 4, 2]
+
+
+def test_build_kmer_table_sp_equals_host(eight_devices):
+    """Production table build through the SP halo kernel (long nodes
+    sharded over the mesh) is bit-identical to the host build."""
+    from vstrains_tpu.ops.pe_infer import build_kmer_table
+
+    rng = np.random.RandomState(17)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    seqs = [bases[rng.randint(0, 4, n)].tobytes().decode()
+            for n in (9000, 12000, 300)]  # two long, one short
+    mesh = make_mesh(data=8, model=1, devices=eight_devices)
+    host = build_kmer_table(seqs, 56)
+    sp = build_kmer_table(seqs, 56, sp=(mesh, 8192))
+    np.testing.assert_array_equal(host.h1_biased, sp.h1_biased)
+    np.testing.assert_array_equal(host.h2, sp.h2)
+    np.testing.assert_array_equal(host.node, sp.node)
+    np.testing.assert_array_equal(host.offset, sp.offset)
+    assert host.max_dup == sp.max_dup
+    assert host.scan_depth == sp.scan_depth

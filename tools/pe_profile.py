@@ -90,11 +90,6 @@ def main():
         return dt
 
     first = next(batches())
-    bstarts = jnp.asarray(table.bucket_starts)
-    shift = table.bucket_shift
-    depth = table.scan_depth
-    print(f"# lookup: shift={shift} depth={depth} "
-          f"index={table.bucket_starts.size}", file=sys.stderr)
 
     def v_sort_stats(codes, lens):
         q1, h2qi, valid, lo = P._hash_join_kernel(codes, lens, tab_h1,
@@ -104,26 +99,17 @@ def main():
             seq_lens, split_len=split_len, max_dup=table.max_dup,
             num_nodes=N)
 
-    def v_lookup_stats(codes, lens):
-        q1, h2qi, valid, lo = P._hash_lookup_kernel(
-            codes, lens, bstarts, split_len=split_len, shift=shift)
-        return P._stats_saturate_kernel(
-            q1, h2qi, valid, lo, lens, tab_h1, tab_h2, tab_node, tab_off,
-            seq_lens, split_len=split_len, max_dup=depth,
-            num_nodes=N)
-
     def v_full(codes, lens):
-        q1, h2qi, valid, lo = P._hash_lookup_kernel(
-            codes, lens, bstarts, split_len=split_len, shift=shift)
+        q1, h2qi, valid, lo = P._hash_join_kernel(codes, lens, tab_h1,
+                                                  split_len=split_len)
         sat = P._stats_saturate_kernel(
             q1, h2qi, valid, lo, lens, tab_h1, tab_h2, tab_node, tab_off,
-            seq_lens, split_len=split_len, max_dup=depth,
+            seq_lens, split_len=split_len, max_dup=table.max_dup,
             num_nodes=N)
         B = sat.shape[0] // 2
         return P._pair_matmuls_jit(sat[:B], sat[B:], num_nodes=N)
 
     run_variant("sort_stats", v_sort_stats, first)
-    run_variant("lookup_stats", v_lookup_stats, first)
     run_variant("full", v_full, first)
 
     # e2e through infer_pe_links (host loop incl. padding + spill)

@@ -98,7 +98,8 @@ def _bucket_size(n: int) -> int:
 
 
 def build_kmer_table(seqs: Sequence[str], split_len: int,
-                     pad_to_bucket: bool = True) -> KmerTable:
+                     pad_to_bucket: bool = True,
+                     sp: Optional[tuple] = None) -> KmerTable:
     """Build the sorted dual-hash table of all valid (k+1)-mers (both
     strands) of every node sequence.
 
@@ -106,12 +107,24 @@ def build_kmer_table(seqs: Sequence[str], split_len: int,
     never-matching sentinels (h1 = INT32_MAX biased, h2 = -1): the join
     places real queries before the sentinel run and the duplicate scan's
     hash-equality masks reject them, so results are unchanged while the
-    device arrays keep bucket-stable shapes."""
+    device arrays keep bucket-stable shapes.
+
+    `sp` = (mesh, min_len): node sequences of at least min_len codes are
+    hashed by the sequence-parallel halo kernel over the mesh's 'data'
+    axis (parallel/mesh.sp_window_hashes) — bit-identical to the host
+    path, with the sequence sharded across devices (the long-context
+    axis of SURVEY.md section 5)."""
     h1s: List[np.ndarray] = []
     h2s: List[np.ndarray] = []
     nodes: List[np.ndarray] = []
     offsets: List[np.ndarray] = []
     seq_lens = np.array([len(s) for s in seqs], dtype=np.int32)
+
+    def hashes(codes):
+        if sp is not None and codes.shape[0] >= sp[1]:
+            from vstrains_tpu.parallel.mesh import sp_window_hashes
+            return sp_window_hashes(codes, split_len, sp[0], bucket=True)
+        return window_hashes_np(codes, split_len)
 
     for i, seq in enumerate(seqs):
         codes = encode_seq(seq)
@@ -119,7 +132,7 @@ def build_kmer_table(seqs: Sequence[str], split_len: int,
         if n < split_len:
             continue
         # forward-strand windows
-        f1, f2, fv = window_hashes_np(codes, split_len)
+        f1, f2, fv = hashes(codes)
         idx = np.nonzero(fv)[0]
         h1s.append(f1[idx])
         h2s.append(f2[idx])
@@ -127,7 +140,7 @@ def build_kmer_table(seqs: Sequence[str], split_len: int,
         offsets.append(idx.astype(np.int32))
         # reverse-complement windows: rc window j <-> forward offset n-L-j
         rc = revcomp_codes(codes)
-        r1, r2, rv = window_hashes_np(rc, split_len)
+        r1, r2, rv = hashes(rc)
         jdx = np.nonzero(rv)[0]
         h1s.append(r1[jdx])
         h2s.append(r2[jdx])
@@ -363,26 +376,39 @@ _hash_join_kernel = partial(jax.jit, static_argnames=("split_len",))(
     _hash_join_impl)
 
 
-def _hash_lookup_impl(codes, lens, bucket_starts, split_len: int,
-                      shift: int):
-    """Window hashes + direct-address table lookup.
+def _hash_lookup_impl(codes, lens, bucket_starts, tab_h1, split_len: int,
+                      shift: int, probe_depth: int):
+    """Window hashes + two-phase direct-address table lookup.
 
-    Replaces the per-batch sort-merge join with one gather into the
+    Replaces the per-batch sort-merge join: one gather into the
     host-built bucket index (bucket = h1 >> shift over the hash-sorted
-    table): `lo` points at the start of the query's bucket, and the
-    bounded duplicate scan's h1-equality test skips any leading
-    non-matching entries. Eliminates the O((Q+M) log^2) per-batch sort —
-    the table is indexed once at build time instead.
+    table) lands at the query's bucket, then a CHEAP find loop (one
+    h1 gather + compare per step, bounded by the max bucket population)
+    locates the exact start of the query's equal-h1 run — runs are
+    contiguous and never cross buckets, so the first in-bucket h1 match
+    IS the run start. The heavy stats stage then scans only true
+    duplicates (max_dup), exactly like the sort join, without the
+    O((Q+M) log^2) per-batch sort.
     """
     h1q, h2q, valid = _device_window_hashes(codes, lens, split_len)
     bucket = (h1q >> jnp.uint32(shift)).astype(jnp.int32)
-    lo = bucket_starts[bucket]
+    base = bucket_starts[bucket]
     q1 = (h1q ^ jnp.uint32(0x80000000)).astype(jnp.int32)
+    M = tab_h1.shape[0]
+
+    def body(p, found):
+        idx = jnp.minimum(base + p, M - 1)
+        hit = (tab_h1[idx] == q1) & (base + p < M) & (found == M)
+        return jnp.where(hit, idx, found)
+
+    lo = jax.lax.fori_loop(0, probe_depth, body,
+                           jnp.full(q1.shape, M, jnp.int32))
     return q1, h2q.astype(jnp.int32), valid, lo
 
 
 _hash_lookup_kernel = partial(
-    jax.jit, static_argnames=("split_len", "shift"))(_hash_lookup_impl)
+    jax.jit, static_argnames=("split_len", "shift", "probe_depth"))(
+    _hash_lookup_impl)
 
 
 @jax.jit
@@ -438,15 +464,60 @@ def _dup_scan_stats_impl(q1, h2qi, valid, lo, tab_h1, tab_h2,
     return cnt[:, :N], cmin[:, :N], kmin[:, :N]
 
 
+def _dup_scan_stats_onehot_impl(q1, h2qi, valid, lo, tab_h1, tab_h2,
+                                tab_node, tab_off, max_dup: int,
+                                num_nodes: int):
+    """Scatter-free variant of the duplicate-scan stats for small N: the
+    per-(read, node) accumulation is a masked one-hot compare + reduce
+    over windows (B*K*N VPU ops, fully fusable) instead of three XLA
+    scatters per depth step — scatters serialize badly on TPU."""
+    B, K = q1.shape
+    M = tab_h1.shape[0]
+    N = num_nodes
+    loc = jnp.minimum(lo, M - 1)
+    kidx = jax.lax.broadcasted_iota(jnp.int32, (B, K), 1)
+    ns = jax.lax.broadcasted_iota(jnp.int32, (1, 1, N), 2)
+    cnt = jnp.zeros((B, N), jnp.int32)
+    cmin = jnp.full((B, N), _INF, jnp.int32)
+    kmin = jnp.full((B, N), _INF, jnp.int32)
+
+    def body(d, state):
+        cnt, cmin, kmin = state
+        idxc = jnp.minimum(loc + d, M - 1)
+        e_h1 = tab_h1[idxc]
+        e_h2 = tab_h2[idxc]
+        e_node = tab_node[idxc]
+        e_off = tab_off[idxc]
+        m = valid & (e_h1 == q1) & (e_h2 == h2qi) & (loc + d < M)
+        oh = m[:, :, None] & (e_node[:, :, None] == ns)
+        cnt = cnt + oh.astype(jnp.int32).sum(axis=1)
+        cmin = jnp.minimum(
+            cmin, jnp.where(oh, e_off[:, :, None], _INF).min(axis=1))
+        kmin = jnp.minimum(
+            kmin, jnp.where(oh, kidx[:, :, None], _INF).min(axis=1))
+        return cnt, cmin, kmin
+
+    return jax.lax.fori_loop(0, max_dup, body, (cnt, cmin, kmin))
+
+
+_ONEHOT_STATS_MAX_NODES = 512
+
+
 @partial(jax.jit,
          static_argnames=("split_len", "max_dup", "num_nodes"))
 def _stats_saturate_kernel(q1, h2qi, valid, lo, lens, tab_h1, tab_h2,
                            tab_node, tab_off, seq_lens, split_len: int,
                            max_dup: int, num_nodes: int):
     """Duplicate-scan stats + saturation test (single-chip jit)."""
-    cnt, cmin, kmin = _dup_scan_stats_impl(q1, h2qi, valid, lo, tab_h1,
-                                           tab_h2, tab_node, tab_off,
-                                           max_dup, num_nodes)
+    if num_nodes <= _ONEHOT_STATS_MAX_NODES:
+        cnt, cmin, kmin = _dup_scan_stats_onehot_impl(
+            q1, h2qi, valid, lo, tab_h1, tab_h2, tab_node, tab_off,
+            max_dup, num_nodes)
+    else:
+        cnt, cmin, kmin = _dup_scan_stats_impl(q1, h2qi, valid, lo,
+                                               tab_h1, tab_h2, tab_node,
+                                               tab_off, max_dup,
+                                               num_nodes)
     return _saturate(cnt, cmin, kmin, lens, seq_lens, split_len)
 
 
@@ -620,13 +691,23 @@ def _use_pallas_hash() -> bool:
             and jax.default_backend() == "tpu")
 
 
-@partial(jax.jit, static_argnames=("shift",))
-def _lookup_from_q1(q1, bucket_starts, shift: int):
-    """Bucket lookup for pre-computed (sign-biased) query hashes (the
-    Pallas hash kernel's output path)."""
+@partial(jax.jit, static_argnames=("shift", "probe_depth"))
+def _lookup_from_q1(q1, bucket_starts, tab_h1, shift: int,
+                    probe_depth: int):
+    """Two-phase bucket lookup for pre-computed (sign-biased) query
+    hashes (the Pallas hash kernel's output path)."""
     bucket = ((q1.astype(jnp.uint32) ^ jnp.uint32(0x80000000))
               >> jnp.uint32(shift)).astype(jnp.int32)
-    return bucket_starts[bucket]
+    base = bucket_starts[bucket]
+    M = tab_h1.shape[0]
+
+    def body(p, found):
+        idx = jnp.minimum(base + p, M - 1)
+        hit = (tab_h1[idx] == q1) & (base + p < M) & (found == M)
+        return jnp.where(hit, idx, found)
+
+    return jax.lax.fori_loop(0, probe_depth, body,
+                             jnp.full(q1.shape, M, jnp.int32))
 
 
 def _pe_batch_sorted(fc, fl, rc, rl, tab, split_len, max_dup, num_nodes,
@@ -658,16 +739,16 @@ def _pe_batch_sorted(fc, fl, rc, rl, tab, split_len, max_dup, num_nodes,
         h2qi = h2qi[:, :K]
         valid = valid[:, :K].astype(bool)
         if lookup is not None:
-            bstarts, shift, scan_depth = lookup
-            lo = _lookup_from_q1(q1, bstarts, shift=shift)
-            max_dup = scan_depth
+            bstarts, shift, probe_depth = lookup
+            lo = _lookup_from_q1(q1, bstarts, tab_h1, shift=shift,
+                                 probe_depth=probe_depth)
         else:
             lo = _join_from_q1(q1, tab_h1)
     elif lookup is not None:
-        bstarts, shift, scan_depth = lookup
+        bstarts, shift, probe_depth = lookup
         q1, h2qi, valid, lo = _hash_lookup_kernel(
-            codes, lens, bstarts, split_len=split_len, shift=shift)
-        max_dup = scan_depth
+            codes, lens, bstarts, tab_h1, split_len=split_len,
+            shift=shift, probe_depth=probe_depth)
     else:
         q1, h2qi, valid, lo = _hash_join_kernel(codes, lens, tab_h1,
                                                 split_len=split_len)
@@ -791,24 +872,37 @@ class PESparseResult:
 def infer_pe_links(ids: Sequence[str], seqs: Sequence[str],
                    reads: ReadPairBatch, kmer_size: int,
                    batch_size: int = 16384,
-                   probe_mode: str = "lookup",
+                   probe_mode: str = "sort",
                    stats_mode: str = "auto",
                    logger: logging.Logger = None):
     """End-to-end PE-link inference for pre-loaded reads.
 
     `kmer_size` is the graph k; windows are (k+1)-mers
-    (PE_Inference.py:114). probe_mode 'lookup' (default) probes via the
-    direct-address bucket index (one gather, no per-batch sort); 'sort'
-    uses the sort-merge-join probe; 'searchsorted' keeps the binary-search
-    kernel (kept for cross-checking). All three produce identical
-    matrices. Per-batch count matrices accumulate on device, so the host
+    (PE_Inference.py:114). probe_mode 'sort' (default) uses the
+    sort-merge-join probe — measured fastest on the v5e, where XLA's sort
+    outruns the random gathers a table lookup needs; 'lookup' probes via
+    the two-phase direct-address bucket index; 'searchsorted' keeps the
+    binary-search kernel (kept for cross-checking). All three produce
+    identical matrices. Per-batch count matrices accumulate on device, so the host
     loop just streams batches and JAX async dispatch pipelines transfer
     and compute; the int32 device accumulator spills into the int64 host
     accumulator well before it could overflow.
     """
     logger = logger or _LOG
     split_len = kmer_size + 1
-    table = build_kmer_table(seqs, split_len)
+    # long node sequences hash via the sequence-parallel halo kernel
+    # (sharded over the device mesh); short ones on host
+    sp = None
+    sp_cutoff = 8192
+    if seqs and max((len(s) for s in seqs), default=0) >= sp_cutoff:
+        try:
+            from vstrains_tpu.parallel.mesh import make_mesh
+            sp = (make_mesh(model=1), sp_cutoff)
+            logger.info("SP table build over %d device(s) for nodes >= "
+                        "%d bp", sp[0].shape["data"], sp_cutoff)
+        except Exception as exc:
+            logger.debug("SP table build unavailable: %s", exc)
+    table = build_kmer_table(seqs, split_len, sp=sp)
     N = table.num_nodes
     logger.info("kmer table: %d entries, max_dup=%d, scan_depth=%d, "
                 "%d nodes", table.num_entries, table.max_dup,
@@ -901,9 +995,7 @@ def _infer_pe_links_sparse(ids, table: KmerTable, reads: ReadPairBatch,
     if probe_mode == "lookup" and table.bucket_starts is not None:
         lookup = (jnp.asarray(table.bucket_starts), table.bucket_shift,
                   table.scan_depth)
-        depth = table.scan_depth
-    else:
-        depth = table.max_dup
+    depth = table.max_dup
 
     # clamp by the sparse path's own footprint: ~8 live (2B, K*depth)
     # int32 planes through sort + scans
@@ -930,9 +1022,10 @@ def _infer_pe_links_sparse(ids, table: KmerTable, reads: ReadPairBatch,
     for fc, fl, rc, rl in _prefetch_batches(reads, batch_size):
         codes, lens = _stack_ends(fc, fl, rc, rl)
         if lookup is not None:
-            bstarts, shift, _ = lookup
+            bstarts, shift, probe_depth = lookup
             q1, h2qi, valid, lo = _hash_lookup_kernel(
-                codes, lens, bstarts, split_len=split_len, shift=shift)
+                codes, lens, bstarts, tab_h1, split_len=split_len,
+                shift=shift, probe_depth=probe_depth)
         else:
             q1, h2qi, valid, lo = _hash_join_kernel(
                 codes, lens, tab_h1, split_len=split_len)

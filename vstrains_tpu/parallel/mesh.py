@@ -284,11 +284,17 @@ def infer_pe_links_sharded(ids: Sequence[str], seqs: Sequence[str],
 def make_sp_window_hash_step(mesh: Mesh, L: int, block: int):
     """Window hashes of one long sequence, sequence axis sharded over the
     'data' mesh axis with an (L-1)-code halo pulled from the right neighbor
-    via ppermute — context-parallelism for k-mer extraction over ICI."""
-    from vstrains_tpu.core.seq import HASH_MULT_1, HASH_MULT_2, _mult_pows
+    via ppermute — context-parallelism for k-mer extraction over ICI.
 
-    pow1 = _mult_pows(HASH_MULT_1, L)[::-1].copy()
-    pow2 = _mult_pows(HASH_MULT_2, L)[::-1].copy()
+    Each shard evaluates its windows with the same prefix-sum hash
+    factorization as the single-device kernel (core/seq.
+    prefix_hash_weights) over its halo-extended block — the factorization
+    is position-independent, so the local result is bit-identical to the
+    host computation."""
+    from vstrains_tpu.core.seq import prefix_hash_weights
+
+    ext_len = block + L - 1
+    weights = prefix_hash_weights(L, ext_len)
     n_shards = mesh.shape["data"]
     perm = [(i, (i - 1) % n_shards) for i in range(n_shards)]  # send left
 
@@ -298,17 +304,13 @@ def make_sp_window_hash_step(mesh: Mesh, L: int, block: int):
         ext = jnp.concatenate([codes, halo])  # [block + L - 1]
         c = jnp.where(ext < 4, ext, 0).astype(jnp.uint32) + jnp.uint32(1)
         bad = (ext >= 4).astype(jnp.int32)
-        h1 = jnp.zeros((block,), jnp.uint32)
-        h2 = jnp.zeros((block,), jnp.uint32)
-        nbad = jnp.zeros((block,), jnp.int32)
-        for i in range(L):
-            h1 = h1 + jax.lax.dynamic_slice(c, (i,), (block,)) \
-                * jnp.uint32(pow1[i])
-            h2 = h2 + jax.lax.dynamic_slice(c, (i,), (block,)) \
-                * jnp.uint32(pow2[i])
-            nbad = nbad + jax.lax.dynamic_slice(bad, (i,), (block,))
-        valid = nbad == 0
-        return h1, h2, valid
+        hs = []
+        for w, s in weights:
+            p = jnp.pad(jnp.cumsum(c * jnp.asarray(w)), (1, 0))
+            hs.append((p[L:] - p[:block]) * jnp.asarray(s))
+        nb = jnp.pad(jnp.cumsum(bad), (1, 0))
+        valid = (nb[L:] - nb[:block]) == 0
+        return hs[0], hs[1], valid
 
     return jax.jit(shard_map(
         local, mesh=mesh,
@@ -318,12 +320,22 @@ def make_sp_window_hash_step(mesh: Mesh, L: int, block: int):
     ))
 
 
-def sp_window_hashes(codes: np.ndarray, L: int, mesh: Mesh):
+def sp_window_hashes(codes: np.ndarray, L: int, mesh: Mesh,
+                     bucket: bool = False):
     """Sequence-parallel window hashes of a single long code array; returns
-    (h1, h2, valid) for all len(codes)-L+1 windows."""
+    (h1, h2, valid) for all len(codes)-L+1 windows.
+
+    With bucket=True the padded length rounds up to a power of two so
+    repeated calls over different node lengths reuse one compiled step
+    (compiles are expensive on the TPU tunnel)."""
     n_shards = mesh.shape["data"]
     n = codes.shape[0]
-    block = -(-n // n_shards)
+    total = n
+    if bucket:
+        total = 1024
+        while total < n:
+            total *= 2
+    block = -(-total // n_shards)
     padded = np.full(block * n_shards, 255, dtype=np.uint8)
     padded[:n] = codes
     step = make_sp_window_hash_step(mesh, L, block)
