@@ -90,3 +90,56 @@ def test_build_kmer_table_sp_equals_host(eight_devices):
     np.testing.assert_array_equal(host.offset, sp.offset)
     assert host.max_dup == sp.max_dup
     assert host.scan_depth == sp.scan_depth
+
+
+@pytest.mark.slow
+def test_two_process_distributed_matches_serial(tmp_path):
+    """Two real jax.distributed processes over localhost: striped read
+    loading + global merge must equal the single-process engine
+    (parallel/distributed.py's multi-host claim, exercised as actual
+    multi-controller processes rather than the single-process
+    degradation)."""
+    import os
+    import socket
+    import subprocess
+    import sys as _sys
+
+    from vstrains_tpu.core.fastq import load_read_pairs
+    from vstrains_tpu.evals.synth import make_dataset
+    from vstrains_tpu.ops.pe_infer import infer_pe_links
+
+    ds = make_dataset(str(tmp_path / "data"), num_strains=2,
+                      num_bubbles=2, pairs_per_strain=150, seed=41)
+    data_dir = str(tmp_path / "data")
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+    out_npz = str(tmp_path / "merged.npz")
+    worker = os.path.join(os.path.dirname(__file__), "dist_worker.py")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    procs = [subprocess.Popen(
+        [_sys.executable, worker, coord, "2", str(pid), data_dir,
+         out_npz], env=env, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT) for pid in (0, 1)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=300)
+        outs.append(out.decode(errors="replace"))
+    assert all(p.returncode == 0 for p in procs), "\n".join(outs)
+
+    merged = np.load(out_npz)
+    reads = load_read_pairs(ds.fwd_path, ds.rve_path, 22)
+    index2id, index2seq = [], []
+    with open(ds.gfa_path) as fh:
+        for line in fh:
+            fields = line.rstrip("\n").split("\t")
+            if fields and fields[0] == "S":
+                index2id.append(fields[1])
+                index2seq.append(fields[2])
+    serial = infer_pe_links(index2id, index2seq, reads, 21,
+                            batch_size=256)
+    np.testing.assert_array_equal(merged["node_mat"], serial.node_mat)
+    np.testing.assert_array_equal(merged["short_mat"], serial.short_mat)

@@ -97,7 +97,7 @@ def main():
         return P._stats_saturate_kernel(
             q1, h2qi, valid, lo, lens, tab_h1, tab_h2, tab_node, tab_off,
             seq_lens, split_len=split_len, max_dup=table.max_dup,
-            num_nodes=N)
+            num_nodes=N, use_onehot=P._stats_use_onehot(N))
 
     def v_full(codes, lens):
         q1, h2qi, valid, lo = P._hash_join_kernel(codes, lens, tab_h1,
@@ -105,7 +105,7 @@ def main():
         sat = P._stats_saturate_kernel(
             q1, h2qi, valid, lo, lens, tab_h1, tab_h2, tab_node, tab_off,
             seq_lens, split_len=split_len, max_dup=table.max_dup,
-            num_nodes=N)
+            num_nodes=N, use_onehot=P._stats_use_onehot(N))
         B = sat.shape[0] // 2
         return P._pair_matmuls_jit(sat[:B], sat[B:], num_nodes=N)
 

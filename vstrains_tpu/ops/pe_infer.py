@@ -503,13 +503,27 @@ def _dup_scan_stats_onehot_impl(q1, h2qi, valid, lo, tab_h1, tab_h2,
 _ONEHOT_STATS_MAX_NODES = 512
 
 
+def _stats_use_onehot(num_nodes: int) -> bool:
+    """One-hot stats win on TPU (scatters serialize there); on CPU the
+    scatter path is plain fast memory writes and the one-hot's B*K*N
+    compares lose badly."""
+    if num_nodes > _ONEHOT_STATS_MAX_NODES:
+        return False
+    dev = jax.config.jax_default_device
+    if dev is not None:
+        return dev.platform == "tpu"
+    return jax.default_backend() == "tpu"
+
+
 @partial(jax.jit,
-         static_argnames=("split_len", "max_dup", "num_nodes"))
+         static_argnames=("split_len", "max_dup", "num_nodes",
+                          "use_onehot"))
 def _stats_saturate_kernel(q1, h2qi, valid, lo, lens, tab_h1, tab_h2,
                            tab_node, tab_off, seq_lens, split_len: int,
-                           max_dup: int, num_nodes: int):
+                           max_dup: int, num_nodes: int,
+                           use_onehot: bool = False):
     """Duplicate-scan stats + saturation test (single-chip jit)."""
-    if num_nodes <= _ONEHOT_STATS_MAX_NODES:
+    if use_onehot:
         cnt, cmin, kmin = _dup_scan_stats_onehot_impl(
             q1, h2qi, valid, lo, tab_h1, tab_h2, tab_node, tab_off,
             max_dup, num_nodes)
@@ -755,7 +769,7 @@ def _pe_batch_sorted(fc, fl, rc, rl, tab, split_len, max_dup, num_nodes,
     sat = _stats_saturate_kernel(
         q1, h2qi, valid, lo, lens, tab_h1, tab_h2, tab_node, tab_off,
         seq_lens, split_len=split_len, max_dup=max_dup,
-        num_nodes=num_nodes)
+        num_nodes=num_nodes, use_onehot=_stats_use_onehot(num_nodes))
     f = sat[:B]
     r = sat[B:]
     if use_pallas and pair_matmuls_pallas_fits(B, num_nodes):
@@ -894,7 +908,8 @@ def infer_pe_links(ids: Sequence[str], seqs: Sequence[str],
     # (sharded over the device mesh); short ones on host
     sp = None
     sp_cutoff = 8192
-    if seqs and max((len(s) for s in seqs), default=0) >= sp_cutoff:
+    if (seqs and max((len(s) for s in seqs), default=0) >= sp_cutoff
+            and jax.device_count() > 1):
         try:
             from vstrains_tpu.parallel.mesh import make_mesh
             sp = (make_mesh(model=1), sp_cutoff)
@@ -934,52 +949,76 @@ def infer_pe_links(ids: Sequence[str], seqs: Sequence[str],
         return PEResult(list(ids), node_mat, short_mat, reads.n_reads,
                         reads.short_reads, reads.used_reads)
 
-    if sparse:
-        return _infer_pe_links_sparse(ids, table, reads, batch_size,
-                                      probe_mode, logger)
+    # tiny workloads: accelerator compile time (minutes over a
+    # remote-compile link) dwarfs any device speedup, so run the same
+    # kernels on the host CPU backend instead — identical results.
+    # VSTRAINS_FORCE_BACKEND=tpu (or =any value) disables the fallback.
+    import os as _os
+    small = reads.num_pairs <= 65536
+    restore_dev = _sentinel = object()
+    if (small and jax.default_backend() != "cpu"
+            and not _os.environ.get("VSTRAINS_FORCE_BACKEND")):
+        try:
+            cpu_dev = jax.devices("cpu")[0]
+            restore_dev = jax.config.jax_default_device
+            jax.config.update("jax_default_device", cpu_dev)
+            logger.info("small workload (%d pairs): running PE kernels "
+                        "on the host CPU backend to skip accelerator "
+                        "compile latency (set VSTRAINS_FORCE_BACKEND to "
+                        "override)", reads.num_pairs)
+        except Exception:
+            restore_dev = _sentinel
 
-    node_mat = np.zeros((N, N), dtype=np.int64)
-    short_mat = np.zeros((N, N), dtype=np.int64)
+    try:
+        if sparse:
+            return _infer_pe_links_sparse(ids, table, reads, batch_size,
+                                          probe_mode, logger)
 
-    tab = (jnp.asarray(table.h1_biased), jnp.asarray(table.h2),
-           jnp.asarray(table.node), jnp.asarray(table.offset),
-           jnp.asarray(table.seq_lens))
-    lookup = None
-    if probe_mode == "lookup" and table.bucket_starts is not None:
-        lookup = (jnp.asarray(table.bucket_starts), table.bucket_shift,
-                  table.scan_depth)
-    if probe_mode == "searchsorted":
-        kern = jax.jit(partial(_pe_batch_kernel,
-                               split_len=split_len,
-                               max_dup=table.max_dup,
-                               num_nodes=N))
+        node_mat = np.zeros((N, N), dtype=np.int64)
+        short_mat = np.zeros((N, N), dtype=np.int64)
 
-    acc_nm = jnp.zeros((N, N), jnp.int32)
-    acc_sm = jnp.zeros((N, N), jnp.int32)
-    B = reads.num_pairs
-    # a batch adds at most batch_size to any matrix cell; spill the int32
-    # device accumulator to the host int64 one with a wide safety margin
-    spill_every = max(1, (2**30) // max(batch_size, 1))
-    since_spill = 0
-    for args in _prefetch_batches(reads, batch_size):
+        tab = (jnp.asarray(table.h1_biased), jnp.asarray(table.h2),
+               jnp.asarray(table.node), jnp.asarray(table.offset),
+               jnp.asarray(table.seq_lens))
+        lookup = None
+        if probe_mode == "lookup" and table.bucket_starts is not None:
+            lookup = (jnp.asarray(table.bucket_starts),
+                      table.bucket_shift, table.scan_depth)
         if probe_mode == "searchsorted":
-            nm, sm = kern(*args, *tab)
-        else:
-            nm, sm = _pe_batch_sorted(*args, tab, split_len,
-                                      table.max_dup, N, lookup=lookup)
-        acc_nm, acc_sm = _accumulate(acc_nm, acc_sm, nm, sm)
-        since_spill += 1
-        if since_spill >= spill_every:
-            node_mat += np.asarray(acc_nm, dtype=np.int64)
-            short_mat += np.asarray(acc_sm, dtype=np.int64)
-            acc_nm = jnp.zeros((N, N), jnp.int32)
-            acc_sm = jnp.zeros((N, N), jnp.int32)
-            since_spill = 0
-    node_mat += np.asarray(acc_nm, dtype=np.int64)
-    short_mat += np.asarray(acc_sm, dtype=np.int64)
+            kern = jax.jit(partial(_pe_batch_kernel,
+                                   split_len=split_len,
+                                   max_dup=table.max_dup,
+                                   num_nodes=N))
 
-    return PEResult(list(ids), node_mat, short_mat, reads.n_reads,
-                    reads.short_reads, reads.used_reads)
+        acc_nm = jnp.zeros((N, N), jnp.int32)
+        acc_sm = jnp.zeros((N, N), jnp.int32)
+        # a batch adds at most batch_size to any matrix cell; spill the
+        # int32 device accumulator to the host int64 one with a wide
+        # safety margin
+        spill_every = max(1, (2**30) // max(batch_size, 1))
+        since_spill = 0
+        for args in _prefetch_batches(reads, batch_size):
+            if probe_mode == "searchsorted":
+                nm, sm = kern(*args, *tab)
+            else:
+                nm, sm = _pe_batch_sorted(*args, tab, split_len,
+                                          table.max_dup, N, lookup=lookup)
+            acc_nm, acc_sm = _accumulate(acc_nm, acc_sm, nm, sm)
+            since_spill += 1
+            if since_spill >= spill_every:
+                node_mat += np.asarray(acc_nm, dtype=np.int64)
+                short_mat += np.asarray(acc_sm, dtype=np.int64)
+                acc_nm = jnp.zeros((N, N), jnp.int32)
+                acc_sm = jnp.zeros((N, N), jnp.int32)
+                since_spill = 0
+        node_mat += np.asarray(acc_nm, dtype=np.int64)
+        short_mat += np.asarray(acc_sm, dtype=np.int64)
+
+        return PEResult(list(ids), node_mat, short_mat, reads.n_reads,
+                        reads.short_reads, reads.used_reads)
+    finally:
+        if restore_dev is not _sentinel:
+            jax.config.update("jax_default_device", restore_dev)
 
 
 def _infer_pe_links_sparse(ids, table: KmerTable, reads: ReadPairBatch,
