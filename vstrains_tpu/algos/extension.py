@@ -78,7 +78,7 @@ def best_matching(view: GraphView, contig_dict: dict, pe_info: dict,
         ranked_cands = sorted(cand_links, key=lambda x: x[2], reverse=True)
         for uid, wid, pe in ranked_cands:
             if pe > 0:
-                logger.debug("-----SEC LINK %s -> %s PE: %s-----",
+                logger.debug("candidate link %s->%s (pe=%s)",
                              uid, wid, pe)
                 in_taken[uid] += 1
                 out_taken[wid] += 1
@@ -538,22 +538,26 @@ def path_extension(view: GraphView, contig_dict: dict, full_link: dict,
                 usages.pop(vnode.vid)
     view = store_reinit_graph(view, ckpt("graph_S_final.gfa"), logger)
 
-    # pairwise link info on the final graph from the untouched PE copy
-    # (Extension:765-799)
-    final_link_info: Dict[Tuple[str, str], int] = {}
-    verts = view.graph.vertices()
-    for node in verts:
-        for node2 in verts:
-            if node > node2:
-                continue
-            nid1s = reduce_id_simple(reduce_Anode(node.vid, sno2ids))
-            nid2s = reduce_id_simple(reduce_Anode(node2.vid, sno2ids))
-            kpair = (min(node.vid, node2.vid), max(node.vid, node2.vid))
-            final_link_info[kpair] = 0
-            for id1 in nid1s:
-                for id2 in nid2s:
-                    inner_kpair = (min(id1, id2), max(id1, id2))
-                    final_link_info[kpair] += pe_info[inner_kpair]
+    # pairwise link info on the final graph from the untouched PE copy,
+    # computed lazily per requested pair — the reference precomputes all
+    # V^2 pairs (Extension:765-799) although only in-neighbor x
+    # out-neighbor pairs of non-trivial branches are ever read; lazy
+    # evaluation gives the same values without the quadratic blowup on
+    # large multi-component graphs
+    id_expansion: Dict[str, list] = {}
+
+    def expanded_ids(vid: str) -> list:
+        if vid not in id_expansion:
+            id_expansion[vid] = reduce_id_simple(
+                reduce_Anode(vid, sno2ids))
+        return id_expansion[vid]
+
+    def final_link_between(v1: str, v2: str) -> int:
+        total = 0
+        for id1 in expanded_ids(v1):
+            for id2 in expanded_ids(v2):
+                total += pe_info[(min(id1, id2), max(id1, id2))]
+        return total
 
     nt_branches = get_non_trivial_branches(view)
     final_links: Dict[str, dict] = {}
@@ -566,13 +570,11 @@ def path_extension(view: GraphView, contig_dict: dict, full_link: dict,
         out_taken = dict.fromkeys(ws, 0)
         for uid in us:
             for wid in ws:
-                combs.append((uid, wid,
-                              final_link_info[(min(uid, wid),
-                                               max(uid, wid))]))
+                combs.append((uid, wid, final_link_between(uid, wid)))
         sorted_comb = sorted(combs, key=lambda x: x[2], reverse=True)
         for uid, wid, lf in sorted_comb:
             if lf > 0 and in_taken[uid] == 0 and out_taken[wid] == 0:
-                logger.debug("-----SEC LINK %s -> %s LINK: %s-----",
+                logger.debug("final link kept %s->%s (count=%s)",
                              uid, wid, lf)
                 final_links[no][(uid, wid)] = lf
                 in_taken[uid] += 1
