@@ -13,12 +13,18 @@ Prints ONE JSON line:
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
-# keep the driver's env: on TPU this runs on the real chip
+# keep the driver's env: on TPU this runs on the real chip.
+# the engine's small-workload CPU fallback must not hijack the warmup
+# (it would leave the timed run paying the accelerator compile)
+os.environ.setdefault("VSTRAINS_FORCE_BACKEND", "bench")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/vstrains_tpu_jax"))
 
 
 def synth_workload(n_nodes=100, node_len=800, n_pairs=100_000,

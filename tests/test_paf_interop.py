@@ -2,6 +2,7 @@
 equivalent perfect-match alignments."""
 
 import numpy as np
+import pytest
 
 from tests.oracle_pe import _revcomp, build_table
 from tests.test_pe_infer import (_make_batch, _random_refs, _sample_reads)
@@ -54,3 +55,27 @@ def test_paf_matrices_match_engine(tmp_path):
     res = infer_pe_links(ids, refs, batch, k, batch_size=32)
     np.testing.assert_array_equal(nm_paf, res.node_mat)
     np.testing.assert_array_equal(sm_paf, res.short_mat)
+
+
+@pytest.mark.skipif(
+    not __import__("shutil").which("minimap2"),
+    reason="minimap2 not on PATH")
+def test_legacy_alignment_matches_hash_engine(tmp_path):
+    """With a real minimap2 installed, the legacy aligner path end-to-end
+    must agree with the hash engine (C12 full parity)."""
+    from vstrains_tpu.evals.paf_interop import run_legacy_alignment
+    from tests.test_pe_infer import (_make_batch, _random_refs,
+                                     _sample_reads)
+    from vstrains_tpu.ops.pe_infer import infer_pe_links
+
+    rng = np.random.RandomState(3)
+    k = 27  # minimap2 min seed window constraints favor larger k
+    refs = _random_refs(rng, 4, [400, 500, 600, 700])
+    fwd, rve = _sample_reads(rng, refs, 50, 80, k)
+    ids = [str(i) for i in range(4)]
+    node_mat, short_mat = run_legacy_alignment(
+        ids, refs, list(zip(fwd, rve)), k, str(tmp_path))
+    res = infer_pe_links(ids, refs, _make_batch(fwd, rve, k + 1), k,
+                         batch_size=32)
+    np.testing.assert_array_equal(node_mat, res.node_mat)
+    np.testing.assert_array_equal(short_mat, res.short_mat)

@@ -128,3 +128,45 @@ def pe_matrices_from_paf(ids: Sequence[str], seq_lens: Sequence[int],
             for b in rights:
                 node_mat[i][b] += 1
     return node_mat, short_mat
+
+
+def aligner_available(exe: str = "minimap2") -> bool:
+    import shutil
+    return shutil.which(exe) is not None
+
+
+def run_legacy_alignment(ids: Sequence[str], seqs: Sequence[str],
+                         reads: Sequence[Tuple[str, str]], kmer_size: int,
+                         work_dir: str, threads: int = 16,
+                         logger: logging.Logger = None
+                         ) -> Tuple[np.ndarray, np.ndarray]:
+    """Drive the legacy aligner path end-to-end with a REAL minimap2.
+
+    Writes the node reference FASTA, exports every (k+1)-mer sub-read,
+    invokes `minimap2 -c -t N` per end (the reference's invocation,
+    VStrains_Alignment.py:292-323), and rebuilds the matrices from the
+    PAFs. Requires minimap2 on PATH (aligner_available()); used to
+    cross-validate the hash engine against an external exact aligner.
+    """
+    import os
+    import subprocess
+
+    logger = logger or _LOG
+    split_len = kmer_size + 1
+    os.makedirs(work_dir, exist_ok=True)
+    ref_fa = os.path.join(work_dir, "nodes.fa")
+    with open(ref_fa, "w") as fh:
+        for vid, seq in zip(ids, seqs):
+            fh.write(f">{vid}\n{seq}\n")
+    sub_f = os.path.join(work_dir, "sub_1.fastq")
+    sub_r = os.path.join(work_dir, "sub_2.fastq")
+    read_ids = export_subread_fastq(reads, sub_f, sub_r, split_len)
+    paf_f = os.path.join(work_dir, "aln_1.paf")
+    paf_r = os.path.join(work_dir, "aln_2.paf")
+    for sub, paf in ((sub_f, paf_f), (sub_r, paf_r)):
+        with open(paf, "w") as out:
+            subprocess.run(["minimap2", "-c", "-t", str(threads),
+                            ref_fa, sub], stdout=out, check=True)
+        logger.debug("aligned %s -> %s", sub, paf)
+    return pe_matrices_from_paf(ids, [len(s) for s in seqs], read_ids,
+                                paf_f, paf_r, split_len)
