@@ -53,3 +53,39 @@ def test_native_matches_python(pair_files):
     np.testing.assert_array_equal(nat.rve_len, py.rve_len)
     np.testing.assert_array_equal(nat.fwd_codes, py.fwd_codes)
     np.testing.assert_array_equal(nat.rve_codes, py.rve_codes)
+
+
+def test_gzip_and_crlf_fastq(tmp_path):
+    """Gzip-compressed and CRLF FASTQ load identically to plain LF files
+    in both the Python and native loaders."""
+    import gzip
+
+    recs = [("ACGTACGTACGTACGT", "TTTTCCCCGGGGAAAA"),
+            ("ACGTNCGTACGTACGT", "TTTTCCCCGGGGAAAA"),  # N pair
+            ("ACG", "TTTTCCCCGGGGAAAA")]               # short pair
+    plain_f = tmp_path / "r1.fastq"
+    plain_r = tmp_path / "r2.fastq"
+    for path, side in ((plain_f, 0), (plain_r, 1)):
+        with open(path, "w") as fh:
+            for i, pair in enumerate(recs):
+                s = pair[side]
+                fh.write(f"@r{i}\n{s}\n+\n{'I' * len(s)}\n")
+    gz_f = tmp_path / "r1.fastq.gz"
+    crlf_r = tmp_path / "r2_crlf.fastq"
+    with gzip.open(gz_f, "wb") as gz:
+        gz.write(open(plain_f, "rb").read())
+    with open(crlf_r, "wb") as fh:
+        fh.write(open(plain_r, "rb").read().replace(b"\n", b"\r\n"))
+
+    for use_native in (False, True):
+        base = load_read_pairs(str(plain_f), str(plain_r), 8,
+                               use_native=use_native)
+        alt = load_read_pairs(str(gz_f), str(crlf_r), 8,
+                              use_native=use_native)
+        assert alt.n_reads == base.n_reads == 1
+        assert alt.short_reads == base.short_reads == 1
+        assert alt.used_reads == base.used_reads == 1
+        np.testing.assert_array_equal(alt.fwd_codes, base.fwd_codes)
+        np.testing.assert_array_equal(alt.rve_codes, base.rve_codes)
+        np.testing.assert_array_equal(alt.fwd_len, base.fwd_len)
+        np.testing.assert_array_equal(alt.rve_len, base.rve_len)

@@ -42,12 +42,20 @@ class ReadPairBatch:
 
 
 def read_fastq_seqs(path: str) -> List[bytes]:
-    """Return the raw sequence line (bytes) of every record."""
-    with open(path, "rb") as fh:
-        data = fh.read()
+    """Return the raw sequence line (bytes) of every record.
+
+    Accepts plain or gzip-compressed (.gz) FASTQ; CRLF line endings are
+    tolerated (trailing '\\r' stripped)."""
+    if path.endswith(".gz"):
+        import gzip
+        with gzip.open(path, "rb") as fh:
+            data = fh.read()
+    else:
+        with open(path, "rb") as fh:
+            data = fh.read()
     lines = data.split(b"\n")
     nrec = len(lines) // 4
-    return [lines[i * 4 + 1] for i in range(nrec)]
+    return [lines[i * 4 + 1].rstrip(b"\r") for i in range(nrec)]
 
 
 def _pack(seqs: List[bytes], pad_to_multiple: int = 1

@@ -24,7 +24,8 @@ def _build() -> bool:
             and os.path.getmtime(_SO_PATH) >= os.path.getmtime(src)):
         return True
     for flags in (["-O3", "-fopenmp"], ["-O3"]):
-        cmd = ["g++", *flags, "-shared", "-fPIC", "-o", _SO_PATH, src]
+        cmd = ["g++", *flags, "-shared", "-fPIC", "-o", _SO_PATH, src,
+               "-lz"]
         try:
             subprocess.run(cmd, check=True, capture_output=True,
                            timeout=120)

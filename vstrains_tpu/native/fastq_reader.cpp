@@ -23,6 +23,8 @@
 #include <cstring>
 #include <vector>
 
+#include <zlib.h>
+
 namespace {
 
 struct Record {
@@ -51,7 +53,27 @@ struct CodeInit {
     }
 } code_init;
 
+bool ends_with_gz(const char *path) {
+    size_t n = strlen(path);
+    return n >= 3 && memcmp(path + n - 3, ".gz", 3) == 0;
+}
+
 bool read_file(const char *path, std::vector<char> &buf) {
+    if (ends_with_gz(path)) {
+        // gzip-compressed FASTQ (the common on-disk form for real read
+        // sets; neither the reference nor plain readlines handles it)
+        gzFile g = gzopen(path, "rb");
+        if (!g) return false;
+        gzbuffer(g, 1 << 20);
+        buf.clear();
+        std::vector<char> chunk(1 << 22);
+        int got;
+        while ((got = gzread(g, chunk.data(), chunk.size())) > 0)
+            buf.insert(buf.end(), chunk.data(), chunk.data() + got);
+        bool ok = got == 0;
+        gzclose(g);
+        return ok;
+    }
     FILE *f = fopen(path, "rb");
     if (!f) return false;
     fseek(f, 0, SEEK_END);
@@ -72,6 +94,7 @@ void collect_records(const std::vector<char> &buf,
     while (p < end) {
         const char *nl = (const char *)memchr(p, '\n', end - p);
         const char *eol = nl ? nl : end;
+        if (eol > p && eol[-1] == '\r') eol--;  // tolerate CRLF files
         if (line_in_rec == 1) out.push_back({p, eol - p});
         line_in_rec = (line_in_rec + 1) & 3;
         if (!nl) break;
