@@ -52,9 +52,8 @@ def main():
           f"build={t_table:.2f}s", file=sys.stderr)
 
     tab = (jnp.asarray(table.h1_biased), jnp.asarray(table.h2),
-           jnp.asarray(table.node), jnp.asarray(table.offset),
-           jnp.asarray(table.seq_lens))
-    tab_h1, tab_h2, tab_node, tab_off, seq_lens = tab
+           jnp.asarray(table.node), jnp.asarray(table.seq_lens))
+    tab_h1, tab_h2, tab_node, seq_lens = tab
 
     def batches():
         B = len(fwd)
@@ -95,7 +94,7 @@ def main():
         q1, h2qi, valid, lo = P._hash_join_kernel(codes, lens, tab_h1,
                                                   split_len=split_len)
         return P._stats_saturate_kernel(
-            q1, h2qi, valid, lo, lens, tab_h1, tab_h2, tab_node, tab_off,
+            q1, h2qi, valid, lo, lens, tab_h1, tab_h2, tab_node,
             seq_lens, split_len=split_len, max_dup=table.max_dup,
             num_nodes=N, use_onehot=P._stats_use_onehot(N))
 
@@ -103,7 +102,7 @@ def main():
         q1, h2qi, valid, lo = P._hash_join_kernel(codes, lens, tab_h1,
                                                   split_len=split_len)
         sat = P._stats_saturate_kernel(
-            q1, h2qi, valid, lo, lens, tab_h1, tab_h2, tab_node, tab_off,
+            q1, h2qi, valid, lo, lens, tab_h1, tab_h2, tab_node,
             seq_lens, split_len=split_len, max_dup=table.max_dup,
             num_nodes=N, use_onehot=P._stats_use_onehot(N))
         B = sat.shape[0] // 2

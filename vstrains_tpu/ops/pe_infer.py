@@ -10,8 +10,10 @@ README calls out as the v1.1 speedup):
             1. rolling window hashes (uint32 x2 lanes, VPU);
             2. probe: vectorized binary search into the sorted table +
                bounded duplicate scan;
-            3. per-(read, node) stats via scatter-accumulate: hit count,
-               min ref coord, min read k-index;
+            3. per-(read, node) stats via scatter-accumulate: hit count
+               and min read k-index (the reference's third stat, the min
+               ref coordinate, cancels out of the saturation test — see
+               below — so it is never computed on device);
             4. the reference's saturation test, recast in exact integer
                arithmetic (see below);
             5. link accumulation as MXU matmuls: the reference's
@@ -30,7 +32,18 @@ denominator rlen, `v >= expected` differs between float64 and exact rational
 arithmetic only if 0 < |expected - v| < ulp, impossible since the gap is a
 multiple of 1/rlen; and equality is computed exactly by float64 division.
 Hence the integer test  v*rlen >= A*(rlen-sl)  is bit-equivalent, and runs in
-int32 on device.  Likewise L = max(c, c-ki) = c since ki >= 0.
+int32 on device.
+
+Min-ref-coord cancellation: the reference tracks three stats per (read, node)
+— hit count v, min ref coord c, min read k-index ki (PE_Inference.py:24-31) —
+but its saturation bound uses only (R - L):
+    L = max(c, c - ki) = c            (ki >= 0)
+    R = min(c + reflen - 1, c - ki + rlen - 1)
+    saturate = R - L - sl + 2 = min(reflen - 1, rlen - 1 - ki) - sl + 2
+c drops out exactly, so the device kernels accumulate only (count, min
+k-index) — one fewer table gather and one fewer min-reduction per probe,
+bit-identical results (verified against the reference script itself in
+tests/test_reference_diff.py).
 """
 
 from __future__ import annotations
@@ -258,16 +271,17 @@ def _device_window_hashes(codes: jnp.ndarray, lens: jnp.ndarray,
 # device: probe + per-read node stats + saturation
 # --------------------------------------------------------------------------
 
-def _probe_stats(codes, lens, tab_h1b, tab_h2, tab_node, tab_off,
+def _probe_stats(codes, lens, tab_h1b, tab_h2, tab_node,
                  split_len: int, max_dup: int, num_nodes: int):
     """Per-(read, node) hit stats for one read end of a batch: (count,
-    min ref coord, min read k-index), each int32 [B, N].
+    min read k-index), each int32 [B, N].
 
     Mirrors the accumulation loop of single_end_read_mapping
-    (PE_Inference.py:24-31) for the whole batch at once. The three stats are
-    a commutative monoid (sum, min, min), so partial stats from disjoint
-    table shards combine exactly with psum/pmin — the tensor-parallel path
-    in parallel/mesh.py relies on this.
+    (PE_Inference.py:24-31) for the whole batch at once, minus the min
+    ref coord, which cancels out of the saturation test (module
+    docstring). The stats are a commutative monoid (sum, min), so partial
+    stats from disjoint table shards combine exactly with psum/pmin — the
+    tensor-parallel path in parallel/mesh.py relies on this.
     """
     B = codes.shape[0]
     N = num_nodes
@@ -282,47 +296,43 @@ def _probe_stats(codes, lens, tab_h1b, tab_h2, tab_node, tab_off,
     kidx = jax.lax.broadcasted_iota(jnp.int32, (B, K), 1)
 
     cnt = jnp.zeros((B, N + 1), jnp.int32)
-    cmin = jnp.full((B, N + 1), _INF, jnp.int32)
     kmin = jnp.full((B, N + 1), _INF, jnp.int32)
 
     h2q = h2.astype(jnp.int32)
 
     def body(d, state):
-        cnt, cmin, kmin = state
+        cnt, kmin = state
         idx = lo + d
         m = (idx < hi) & valid
         idxc = jnp.where(m, idx, 0)
         e_h2 = tab_h2[idxc]
         e_node = tab_node[idxc]
-        e_off = tab_off[idxc]
         m = m & (e_h2 == h2q)
         node_t = jnp.where(m, e_node, N)  # slot N absorbs misses
         cnt = cnt.at[bidx, node_t].add(1)
-        cmin = cmin.at[bidx, node_t].min(jnp.where(m, e_off, _INF))
         kmin = kmin.at[bidx, node_t].min(jnp.where(m, kidx, _INF))
-        return cnt, cmin, kmin
+        return cnt, kmin
 
-    cnt, cmin, kmin = jax.lax.fori_loop(0, max_dup, body, (cnt, cmin, kmin))
-    return cnt[:, :N], cmin[:, :N], kmin[:, :N]
+    cnt, kmin = jax.lax.fori_loop(0, max_dup, body, (cnt, kmin))
+    return cnt[:, :N], kmin[:, :N]
 
 
-def _saturate(cnt, cmin, kmin, lens, seq_lens, split_len: int):
-    """The reference saturation test in exact-integer form (see module
-    docstring); returns the per-(read, node) mask as float32 0/1."""
+def _saturate(cnt, kmin, lens, seq_lens, split_len: int):
+    """The reference saturation test in exact-integer form with the min
+    ref coord cancelled (see module docstring); returns the per-(read,
+    node) mask as float32 0/1."""
     hit = cnt > 0
     rl = lens[:, None].astype(jnp.int32)
     ref = seq_lens[None, :].astype(jnp.int32)
-    cminz = jnp.where(hit, cmin, 0)
     kminz = jnp.where(hit, kmin, 0)
-    R = jnp.minimum(cminz + ref - 1, cminz - kminz + rl - 1)
-    sat_thresh = R - cminz - split_len + 2
+    sat_thresh = jnp.minimum(ref - 1, rl - 1 - kminz) - split_len + 2
     A = jnp.minimum(rl, ref) - split_len + 1
     exp_num = A * (rl - split_len)
     ok = hit & ((cnt >= sat_thresh) | (cnt * rl >= exp_num))
     return ok.astype(jnp.float32)
 
 
-def _probe_and_saturate(codes, lens, tab_h1b, tab_h2, tab_node, tab_off,
+def _probe_and_saturate(codes, lens, tab_h1b, tab_h2, tab_node,
                         seq_lens, split_len: int, max_dup: int,
                         num_nodes: int):
     """One read end for a whole batch -> saturated mask [B, N] (float32 0/1).
@@ -330,9 +340,9 @@ def _probe_and_saturate(codes, lens, tab_h1b, tab_h2, tab_node, tab_off,
     Mirrors single_end_read_mapping (PE_Inference.py:16-48) for every read of
     the batch at once.
     """
-    cnt, cmin, kmin = _probe_stats(codes, lens, tab_h1b, tab_h2, tab_node,
-                                   tab_off, split_len, max_dup, num_nodes)
-    return _saturate(cnt, cmin, kmin, lens, seq_lens, split_len)
+    cnt, kmin = _probe_stats(codes, lens, tab_h1b, tab_h2, tab_node,
+                             split_len, max_dup, num_nodes)
+    return _saturate(cnt, kmin, lens, seq_lens, split_len)
 
 
 # --------------------------------------------------------------------------
@@ -429,12 +439,11 @@ def _join_from_q1(q1, tab_h1):
 
 
 def _dup_scan_stats_impl(q1, h2qi, valid, lo, tab_h1, tab_h2,
-                         tab_node, tab_off, max_dup: int,
-                         num_nodes: int):
+                         tab_node, max_dup: int, num_nodes: int):
     """Bounded duplicate scan from `lo` with in-loop hash-equality masks,
-    scatter-accumulated per-(read, node) stats (count, min-coord,
-    min-kindex). Shared by the single-chip kernel and the
-    tensor-parallel per-shard step (parallel/mesh.py)."""
+    scatter-accumulated per-(read, node) stats (count, min-kindex).
+    Shared by the single-chip kernel and the tensor-parallel per-shard
+    step (parallel/mesh.py)."""
     B, K = q1.shape
     M = tab_h1.shape[0]
     N = num_nodes
@@ -442,34 +451,29 @@ def _dup_scan_stats_impl(q1, h2qi, valid, lo, tab_h1, tab_h2,
     bidx = jax.lax.broadcasted_iota(jnp.int32, (B, K), 0)
     kidx = jax.lax.broadcasted_iota(jnp.int32, (B, K), 1)
     cnt = jnp.zeros((B, N + 1), jnp.int32)
-    cmin = jnp.full((B, N + 1), _INF, jnp.int32)
     kmin = jnp.full((B, N + 1), _INF, jnp.int32)
 
     def body(d, state):
-        cnt, cmin, kmin = state
+        cnt, kmin = state
         idxc = jnp.minimum(loc + d, M - 1)
         e_h1 = tab_h1[idxc]
         e_h2 = tab_h2[idxc]
         e_node = tab_node[idxc]
-        e_off = tab_off[idxc]
         m = valid & (e_h1 == q1) & (e_h2 == h2qi) & (loc + d < M)
         node_t = jnp.where(m, e_node, N)
         cnt = cnt.at[bidx, node_t].add(1)
-        cmin = cmin.at[bidx, node_t].min(jnp.where(m, e_off, _INF))
         kmin = kmin.at[bidx, node_t].min(jnp.where(m, kidx, _INF))
-        return cnt, cmin, kmin
+        return cnt, kmin
 
-    cnt, cmin, kmin = jax.lax.fori_loop(0, max_dup, body,
-                                        (cnt, cmin, kmin))
-    return cnt[:, :N], cmin[:, :N], kmin[:, :N]
+    cnt, kmin = jax.lax.fori_loop(0, max_dup, body, (cnt, kmin))
+    return cnt[:, :N], kmin[:, :N]
 
 
 def _dup_scan_stats_onehot_impl(q1, h2qi, valid, lo, tab_h1, tab_h2,
-                                tab_node, tab_off, max_dup: int,
-                                num_nodes: int):
+                                tab_node, max_dup: int, num_nodes: int):
     """Scatter-free variant of the duplicate-scan stats for small N: the
     per-(read, node) accumulation is a masked one-hot compare + reduce
-    over windows (B*K*N VPU ops, fully fusable) instead of three XLA
+    over windows (B*K*N VPU ops, fully fusable) instead of two XLA
     scatters per depth step — scatters serialize badly on TPU."""
     B, K = q1.shape
     M = tab_h1.shape[0]
@@ -478,26 +482,22 @@ def _dup_scan_stats_onehot_impl(q1, h2qi, valid, lo, tab_h1, tab_h2,
     kidx = jax.lax.broadcasted_iota(jnp.int32, (B, K), 1)
     ns = jax.lax.broadcasted_iota(jnp.int32, (1, 1, N), 2)
     cnt = jnp.zeros((B, N), jnp.int32)
-    cmin = jnp.full((B, N), _INF, jnp.int32)
     kmin = jnp.full((B, N), _INF, jnp.int32)
 
     def body(d, state):
-        cnt, cmin, kmin = state
+        cnt, kmin = state
         idxc = jnp.minimum(loc + d, M - 1)
         e_h1 = tab_h1[idxc]
         e_h2 = tab_h2[idxc]
         e_node = tab_node[idxc]
-        e_off = tab_off[idxc]
         m = valid & (e_h1 == q1) & (e_h2 == h2qi) & (loc + d < M)
         oh = m[:, :, None] & (e_node[:, :, None] == ns)
         cnt = cnt + oh.astype(jnp.int32).sum(axis=1)
-        cmin = jnp.minimum(
-            cmin, jnp.where(oh, e_off[:, :, None], _INF).min(axis=1))
         kmin = jnp.minimum(
             kmin, jnp.where(oh, kidx[:, :, None], _INF).min(axis=1))
-        return cnt, cmin, kmin
+        return cnt, kmin
 
-    return jax.lax.fori_loop(0, max_dup, body, (cnt, cmin, kmin))
+    return jax.lax.fori_loop(0, max_dup, body, (cnt, kmin))
 
 
 _ONEHOT_STATS_MAX_NODES = 512
@@ -519,20 +519,19 @@ def _stats_use_onehot(num_nodes: int) -> bool:
          static_argnames=("split_len", "max_dup", "num_nodes",
                           "use_onehot"))
 def _stats_saturate_kernel(q1, h2qi, valid, lo, lens, tab_h1, tab_h2,
-                           tab_node, tab_off, seq_lens, split_len: int,
+                           tab_node, seq_lens, split_len: int,
                            max_dup: int, num_nodes: int,
                            use_onehot: bool = False):
     """Duplicate-scan stats + saturation test (single-chip jit)."""
     if use_onehot:
-        cnt, cmin, kmin = _dup_scan_stats_onehot_impl(
-            q1, h2qi, valid, lo, tab_h1, tab_h2, tab_node, tab_off,
-            max_dup, num_nodes)
+        cnt, kmin = _dup_scan_stats_onehot_impl(
+            q1, h2qi, valid, lo, tab_h1, tab_h2, tab_node, max_dup,
+            num_nodes)
     else:
-        cnt, cmin, kmin = _dup_scan_stats_impl(q1, h2qi, valid, lo,
-                                               tab_h1, tab_h2, tab_node,
-                                               tab_off, max_dup,
-                                               num_nodes)
-    return _saturate(cnt, cmin, kmin, lens, seq_lens, split_len)
+        cnt, kmin = _dup_scan_stats_impl(q1, h2qi, valid, lo, tab_h1,
+                                         tab_h2, tab_node, max_dup,
+                                         num_nodes)
+    return _saturate(cnt, kmin, lens, seq_lens, split_len)
 
 
 @partial(jax.jit, static_argnames=("num_nodes",))
@@ -552,27 +551,26 @@ def _pair_matmuls_jit(f, r, num_nodes: int):
 # sparsely on host as (u*N+v) -> count COO pairs.
 # --------------------------------------------------------------------------
 
-def _segmented_scans(startf, off_s, start_val, kidx_s):
-    """Row-wise segmented (min, max, min) scans with reset flags: within
-    each run (segment) of a sorted row, propagates the run's min offset,
-    start position, and min k-index. One associative scan, shared flags."""
+def _segmented_scans(startf, start_val, kidx_s):
+    """Row-wise segmented (max, min) scans with reset flags: within each
+    run (segment) of a sorted row, propagates the run's start position
+    and min k-index. One associative scan, shared flags."""
 
     def comb(a, b):
-        fa, ma, sa, ka = a
-        fb, mb, sb, kb = b
+        fa, sa, ka = a
+        fb, sb, kb = b
         return (fa | fb,
-                jnp.where(fb, mb, jnp.minimum(ma, mb)),
                 jnp.where(fb, sb, jnp.maximum(sa, sb)),
                 jnp.where(fb, kb, jnp.minimum(ka, kb)))
 
-    _, offmin, startpos, kmin = jax.lax.associative_scan(
-        comb, (startf, off_s, start_val, kidx_s), axis=1)
-    return offmin, startpos, kmin
+    _, startpos, kmin = jax.lax.associative_scan(
+        comb, (startf, start_val, kidx_s), axis=1)
+    return startpos, kmin
 
 
 @partial(jax.jit, static_argnames=("split_len", "depth", "cap"))
 def _stats_sparse_kernel(q1, h2qi, valid, lo, lens, tab_h1, tab_h2,
-                         tab_node, tab_off, seq_lens, split_len: int,
+                         tab_node, seq_lens, split_len: int,
                          depth: int, cap: int):
     """Per-read saturated node lists without any N-wide tensor.
 
@@ -587,26 +585,23 @@ def _stats_sparse_kernel(q1, h2qi, valid, lo, lens, tab_h1, tab_h2,
     e_h1 = tab_h1[idx]
     e_h2 = tab_h2[idx]
     e_node = tab_node[idx]
-    e_off = tab_off[idx]
     m = (valid[:, :, None] & (e_h1 == q1[:, :, None])
          & (e_h2 == h2qi[:, :, None]) & (loc[:, :, None] + d < M))
 
     R = K * depth
     node_key = jnp.where(m, e_node, _INF).reshape(B2, R)
-    off_v = jnp.where(m, e_off, _INF).reshape(B2, R)
     kidx = jax.lax.broadcasted_iota(jnp.int32, (B2, K, depth), 1)
     kidx_v = jnp.where(m, kidx, _INF).reshape(B2, R)
 
-    node_s, off_s, kidx_s = jax.lax.sort(
-        (node_key, off_v, kidx_v), dimension=1, num_keys=1)
+    node_s, kidx_s = jax.lax.sort(
+        (node_key, kidx_v), dimension=1, num_keys=1)
 
     prev = jnp.concatenate(
         [jnp.full((B2, 1), -1, jnp.int32), node_s[:, :-1]], axis=1)
     startf = node_s != prev
     pos = jax.lax.broadcasted_iota(jnp.int32, (B2, R), 1)
     start_val = jnp.where(startf, pos, -1)
-    offmin, startpos, kmin = _segmented_scans(startf, off_s, start_val,
-                                              kidx_s)
+    startpos, kmin = _segmented_scans(startf, start_val, kidx_s)
 
     nxt = jnp.concatenate(
         [node_s[:, 1:], jnp.full((B2, 1), -1, jnp.int32)], axis=1)
@@ -615,11 +610,11 @@ def _stats_sparse_kernel(q1, h2qi, valid, lo, lens, tab_h1, tab_h2,
 
     # the reference saturation test (PE_Inference.py:39-47) in exact
     # integers, evaluated at each run end — same algebra as _saturate
+    # (min ref coord cancelled, module docstring)
     rl = lens[:, None].astype(jnp.int32)
     N = seq_lens.shape[0]
     ref = jnp.take(seq_lens, jnp.clip(node_s, 0, N - 1)).astype(jnp.int32)
-    Rr = jnp.minimum(offmin + ref - 1, offmin - kmin + rl - 1)
-    sat_thresh = Rr - offmin - split_len + 2
+    sat_thresh = jnp.minimum(ref - 1, rl - 1 - kmin) - split_len + 2
     A = jnp.minimum(rl, ref) - split_len + 1
     exp_num = A * (rl - split_len)
     ok = is_end & ((cnt >= sat_thresh) | (cnt * rl >= exp_num))
@@ -735,7 +730,7 @@ def _pe_batch_sorted(fc, fl, rc, rl, tab, split_len, max_dup, num_nodes,
     with VSTRAINS_PALLAS=1 the window-hash stage runs as a Pallas kernel
     (ops/pallas_kernels.py) — identical results on every path.
     """
-    tab_h1, tab_h2, tab_node, tab_off, seq_lens = tab
+    tab_h1, tab_h2, tab_node, seq_lens = tab
     B = fc.shape[0]
     codes, lens = _stack_ends(fc, fl, rc, rl)
 
@@ -767,7 +762,7 @@ def _pe_batch_sorted(fc, fl, rc, rl, tab, split_len, max_dup, num_nodes,
         q1, h2qi, valid, lo = _hash_join_kernel(codes, lens, tab_h1,
                                                 split_len=split_len)
     sat = _stats_saturate_kernel(
-        q1, h2qi, valid, lo, lens, tab_h1, tab_h2, tab_node, tab_off,
+        q1, h2qi, valid, lo, lens, tab_h1, tab_h2, tab_node,
         seq_lens, split_len=split_len, max_dup=max_dup,
         num_nodes=num_nodes, use_onehot=_stats_use_onehot(num_nodes))
     f = sat[:B]
@@ -794,15 +789,15 @@ def _pair_matmuls(f, r, num_nodes: int):
 
 
 def _pe_batch_kernel(fwd_codes, fwd_len, rve_codes, rve_len,
-                     tab_h1b, tab_h2, tab_node, tab_off, seq_lens,
+                     tab_h1b, tab_h2, tab_node, seq_lens,
                      split_len: int, max_dup: int, num_nodes: int):
     """Full per-batch link accumulation -> (node_mat, short_mat) int32
     [N, N]. MXU matmuls replace the reference's pair loops
     (PE_Inference.py:174-188)."""
     f = _probe_and_saturate(fwd_codes, fwd_len, tab_h1b, tab_h2, tab_node,
-                            tab_off, seq_lens, split_len, max_dup, num_nodes)
+                            seq_lens, split_len, max_dup, num_nodes)
     r = _probe_and_saturate(rve_codes, rve_len, tab_h1b, tab_h2, tab_node,
-                            tab_off, seq_lens, split_len, max_dup, num_nodes)
+                            seq_lens, split_len, max_dup, num_nodes)
     return _pair_matmuls(f, r, num_nodes)
 
 
@@ -978,8 +973,7 @@ def infer_pe_links(ids: Sequence[str], seqs: Sequence[str],
         short_mat = np.zeros((N, N), dtype=np.int64)
 
         tab = (jnp.asarray(table.h1_biased), jnp.asarray(table.h2),
-               jnp.asarray(table.node), jnp.asarray(table.offset),
-               jnp.asarray(table.seq_lens))
+               jnp.asarray(table.node), jnp.asarray(table.seq_lens))
         lookup = None
         if probe_mode == "lookup" and table.bucket_starts is not None:
             lookup = (jnp.asarray(table.bucket_starts),
@@ -1053,7 +1047,6 @@ def _infer_pe_links_sparse(ids, table: KmerTable, reads: ReadPairBatch,
     tab_h1 = jnp.asarray(table.h1_biased)
     tab_h2 = jnp.asarray(table.h2)
     tab_node = jnp.asarray(table.node)
-    tab_off = jnp.asarray(table.offset)
     seq_lens = jnp.asarray(table.seq_lens)
 
     pe_k, pe_c, st_k, st_c = [], [], [], []
@@ -1069,7 +1062,7 @@ def _infer_pe_links_sparse(ids, table: KmerTable, reads: ReadPairBatch,
             q1, h2qi, valid, lo = _hash_join_kernel(
                 codes, lens, tab_h1, split_len=split_len)
         sat_nodes, ovf = _stats_sparse_kernel(
-            q1, h2qi, valid, lo, lens, tab_h1, tab_h2, tab_node, tab_off,
+            q1, h2qi, valid, lo, lens, tab_h1, tab_h2, tab_node,
             seq_lens, split_len=split_len, depth=depth, cap=cap)
         ovfs.append(ovf)
         sn = np.asarray(sat_nodes)

@@ -9,9 +9,9 @@ is new design — SURVEY.md section 2):
         sharding is bit-identical to the serial loop.
   model (TP): the k-mer table shards across chips by sorted-hash range;
         each chip probes only its shard, producing partial per-(read, node)
-        stats; (count, min-coord, min-kindex) is a commutative monoid, so
-        psum/pmin over the model axis reconstructs exact full-table stats
-        before the saturation test.
+        stats; (count, min-kindex) is a commutative monoid, so psum/pmin
+        over the model axis reconstructs exact full-table stats before
+        the saturation test.
   seq   (SP): window-hash extraction over long node sequences splits the
         sequence axis with (L-1)-code halo exchange between neighbor shards
         (ppermute over ICI) — the genomics analogue of context parallelism.
@@ -42,8 +42,8 @@ except ImportError:  # pragma: no cover
 from vstrains_tpu.core.fastq import ReadPairBatch
 from vstrains_tpu.ops.pe_infer import (KmerTable, PEResult,
                                        _dup_scan_stats_impl,
-                                       _hash_join_impl, _pair_matmuls,
-                                       _pair_matmuls_jit, _probe_stats,
+                                       _hash_join_impl,
+                                       _pair_matmuls_jit,
                                        _saturate, _stack_ends,
                                        _stats_saturate_kernel,
                                        build_kmer_table)
@@ -126,12 +126,12 @@ def _pe_batch_sorted_dp(fc, fl, rc, rl, tab, hash_join_step, split_len,
     (shard_map), then the row-parallel stats and matmul stages run as the
     same jitted kernels as single-chip — GSPMD partitions them over the
     sharded rows, inserting the final psum for the replicated matrices."""
-    tab_h1, tab_h2, tab_node, tab_off, seq_lens = tab
+    tab_h1, tab_h2, tab_node, seq_lens = tab
     B = fc.shape[0]
     codes, lens = _stack_ends(fc, fl, rc, rl)
     q1, h2qi, valid, lo = hash_join_step(codes, lens, tab_h1)
     sat = _stats_saturate_kernel(
-        q1, h2qi, valid, lo, lens, tab_h1, tab_h2, tab_node, tab_off,
+        q1, h2qi, valid, lo, lens, tab_h1, tab_h2, tab_node,
         seq_lens, split_len=split_len, max_dup=max_dup,
         num_nodes=num_nodes)
     return _pair_matmuls_jit(sat[:B], sat[B:], num_nodes=num_nodes)
@@ -146,8 +146,8 @@ def make_tp_hash_join_step(mesh: Mesh, split_len: int):
 
     Every model rank hashes its data shard identically (cheap, replicated
     output) and joins against its own sorted table shard; the per-shard
-    join positions feed the TP stats step, whose (sum, min, min) stat
-    monoid merges exactly across shards."""
+    join positions feed the TP stats step, whose (sum, min) stat monoid
+    merges exactly across shards."""
 
     def local(codes, lens, th1):
         th1 = th1[0]  # (1, M') model shard block
@@ -168,22 +168,20 @@ def make_tp_stats_step(mesh: Mesh, split_len: int, max_dup: int,
     """Per-shard duplicate-scan stats + exact psum/pmin merge over the
     model axis + saturation; output replicated over model."""
 
-    def local(q1, h2qi, valid, lo, lens, th1, th2, tn, toff, seq_lens):
-        th1, th2, tn, toff = (a[0] for a in (th1, th2, tn, toff))
-        cnt, cmin, kmin = _dup_scan_stats_impl(
-            q1, h2qi, valid, lo[0], th1, th2, tn, toff, max_dup,
-            num_nodes)
+    def local(q1, h2qi, valid, lo, lens, th1, th2, tn, seq_lens):
+        th1, th2, tn = (a[0] for a in (th1, th2, tn))
+        cnt, kmin = _dup_scan_stats_impl(
+            q1, h2qi, valid, lo[0], th1, th2, tn, max_dup, num_nodes)
         cnt = jax.lax.psum(cnt, "model")
-        cmin = jax.lax.pmin(cmin, "model")
         kmin = jax.lax.pmin(kmin, "model")
-        return _saturate(cnt, cmin, kmin, lens, seq_lens, split_len)
+        return _saturate(cnt, kmin, lens, seq_lens, split_len)
 
     return jax.jit(shard_map(
         local, mesh=mesh,
         in_specs=(P("data", None), P("data", None), P("data", None),
                   P("model", "data", None), P("data"),
                   P("model", None), P("model", None), P("model", None),
-                  P("model", None), P(None)),
+                  P(None)),
         out_specs=P("data", None),
         check_vma=False,
     ))
@@ -194,10 +192,9 @@ def _pe_batch_tp(fc, fl, rc, rl, stab_args, seq_lens, hash_join_step,
     """DPxTP batch step: stacked ends through the staged TP kernels."""
     B = fc.shape[0]
     codes, lens = _stack_ends(fc, fl, rc, rl)
-    th1, th2, tn, toff = stab_args
+    th1, th2, tn = stab_args
     q1, h2qi, valid, lo = hash_join_step(codes, lens, th1)
-    sat = stats_step(q1, h2qi, valid, lo, lens, th1, th2, tn, toff,
-                     seq_lens)
+    sat = stats_step(q1, h2qi, valid, lo, lens, th1, th2, tn, seq_lens)
     return _pair_matmuls_jit(sat[:B], sat[B:], num_nodes=num_nodes)
 
 
@@ -234,7 +231,6 @@ def infer_pe_links_sharded(ids: Sequence[str], seqs: Sequence[str],
         hash_join_step = make_dp_hash_join_step(mesh, split_len)
         tab_args_dp = (jnp.asarray(table.h1_biased),
                        jnp.asarray(table.h2), jnp.asarray(table.node),
-                       jnp.asarray(table.offset),
                        jnp.asarray(table.seq_lens))
     else:
         # staged DPxTP: per-shard join + stat-monoid psum/pmin merge
@@ -242,7 +238,7 @@ def infer_pe_links_sharded(ids: Sequence[str], seqs: Sequence[str],
         hash_join_step = make_tp_hash_join_step(mesh, split_len)
         stats_step = make_tp_stats_step(mesh, split_len, table.max_dup, N)
         stab_args = (jnp.asarray(stab.h1_biased), jnp.asarray(stab.h2),
-                     jnp.asarray(stab.node), jnp.asarray(stab.offset))
+                     jnp.asarray(stab.node))
         seq_lens_j = jnp.asarray(table.seq_lens)
 
     # batch size must divide evenly over the data axis
