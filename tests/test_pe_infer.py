@@ -294,3 +294,53 @@ def test_sparse_cap_overflow_retry(caplog):
     np.testing.assert_array_equal(
         _coo_to_dense(sparse.pair_keys, sparse.pair_counts, 20),
         dense.node_mat)
+
+
+def test_stats_impls_agree():
+    """All three stats accumulators — scatter, one-hot, and the Pallas
+    VMEM-fused kernel (interpret mode off-TPU) — produce identical
+    saturation masks, at duplicate depths above 1."""
+    import jax.numpy as jnp
+
+    from vstrains_tpu.ops import pe_infer as P
+    from vstrains_tpu.ops.pallas_kernels import stats_accum_pallas
+
+    rng = np.random.RandomState(5)
+    k = 11
+    # repeated motifs force max_dup > 1
+    motif = _random_refs(rng, 1, [40])[0]
+    refs = [motif + _random_refs(rng, 1, [60])[0] for _ in range(4)]
+    fwd, rve = _sample_reads(rng, refs, 48, 30, k)
+    split_len = k + 1
+    batch = _make_batch(fwd, rve, split_len)
+    table = build_kmer_table(refs, split_len)
+    assert table.max_dup > 1
+    N = table.num_nodes
+
+    tab_h1 = jnp.asarray(table.h1_biased)
+    tab_h2 = jnp.asarray(table.h2)
+    tab_node = jnp.asarray(table.node)
+    seq_lens = jnp.asarray(table.seq_lens)
+    codes, lens = P._stack_ends(
+        jnp.asarray(batch.fwd_codes), jnp.asarray(batch.fwd_len),
+        jnp.asarray(batch.rve_codes), jnp.asarray(batch.rve_len))
+    q1, h2qi, valid, lo = P._hash_join_kernel(codes, lens, tab_h1,
+                                              split_len=split_len)
+
+    base = P._stats_saturate_kernel(
+        q1, h2qi, valid, lo, lens, tab_h1, tab_h2, tab_node, seq_lens,
+        split_len=split_len, max_dup=table.max_dup, num_nodes=N,
+        stats_impl="scatter")
+    onehot = P._stats_saturate_kernel(
+        q1, h2qi, valid, lo, lens, tab_h1, tab_h2, tab_node, seq_lens,
+        split_len=split_len, max_dup=table.max_dup, num_nodes=N,
+        stats_impl="onehot")
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(onehot))
+
+    # pallas path, interpret mode (no TPU in CI)
+    node_t = P._gather_node_slots(q1, h2qi, valid, lo, tab_h1, tab_h2,
+                                  tab_node, table.max_dup, N)
+    cnt, kmin = stats_accum_pallas(node_t, depth=table.max_dup,
+                                   num_nodes=N, interpret=True)
+    sat = P._saturate(cnt, kmin, lens, seq_lens, split_len)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(sat))

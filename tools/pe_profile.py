@@ -89,6 +89,7 @@ def main():
         return dt
 
     first = next(batches())
+    K = first[0].shape[1] - split_len + 1
 
     def v_sort_stats(codes, lens):
         q1, h2qi, valid, lo = P._hash_join_kernel(codes, lens, tab_h1,
@@ -96,7 +97,8 @@ def main():
         return P._stats_saturate_kernel(
             q1, h2qi, valid, lo, lens, tab_h1, tab_h2, tab_node,
             seq_lens, split_len=split_len, max_dup=table.max_dup,
-            num_nodes=N, use_onehot=P._stats_use_onehot(N))
+            num_nodes=N,
+            stats_impl=P._stats_impl_choice(N, K, table.max_dup))
 
     def v_full(codes, lens):
         q1, h2qi, valid, lo = P._hash_join_kernel(codes, lens, tab_h1,
@@ -104,7 +106,8 @@ def main():
         sat = P._stats_saturate_kernel(
             q1, h2qi, valid, lo, lens, tab_h1, tab_h2, tab_node,
             seq_lens, split_len=split_len, max_dup=table.max_dup,
-            num_nodes=N, use_onehot=P._stats_use_onehot(N))
+            num_nodes=N,
+            stats_impl=P._stats_impl_choice(N, K, table.max_dup))
         B = sat.shape[0] // 2
         return P._pair_matmuls_jit(sat[:B], sat[B:], num_nodes=N)
 

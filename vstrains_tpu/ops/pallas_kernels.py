@@ -105,6 +105,75 @@ def window_hashes_pallas(codes, lens, split_len: int, block: int = 128,
     )(codes, lens2)
 
 
+def _stats_accum_kernel(node_ref, cnt_ref, kmin_ref, *, C: int,
+                        depth: int, Np: int, inf: int):
+    nodes = node_ref[:]
+    B = nodes.shape[0]
+    ns = jax.lax.broadcasted_iota(jnp.int32, (1, Np), 1)
+    cnt = jnp.zeros((B, Np), jnp.int32)
+    kmin = jnp.full((B, Np), inf, jnp.int32)
+    for j in range(C):
+        oh = nodes[:, j: j + 1] == ns
+        cnt = cnt + oh.astype(jnp.int32)
+        kmin = jnp.minimum(kmin, jnp.where(oh, j // depth, inf))
+    cnt_ref[:] = cnt
+    kmin_ref[:] = kmin
+
+
+_STATS_PALLAS_MAX_COLS = 512
+
+
+def stats_accum_pallas_fits(C: int, num_nodes: int) -> bool:
+    """The unrolled column loop caps compile size at 512 slots; the
+    accumulators cap N at the one-hot cutoff's scale."""
+    return C <= _STATS_PALLAS_MAX_COLS and num_nodes <= 1024
+
+
+@partial(jax.jit, static_argnames=("depth", "num_nodes", "block",
+                                   "interpret"))
+def stats_accum_pallas(node_t, depth: int, num_nodes: int,
+                       block: int = 256, interpret: bool = False):
+    """Per-(read, node) (count, min k-index) from per-slot node ids.
+
+    node_t: int32 [R, C] where slot j of row r holds the node id matched
+    by window k = j // depth at duplicate rank j % depth, or the sentinel
+    `num_nodes` for a miss. Returns (cnt, kmin) int32 [R, num_nodes].
+
+    This fuses the one-hot accumulation of
+    ops.pe_infer._dup_scan_stats_onehot_impl into VMEM: the XLA version
+    materializes (R, C, N)-shaped intermediates in HBM per reduction;
+    here the whole compare/accumulate loop stays on-chip per row block.
+    """
+    R, C = node_t.shape
+    Np = -(-(num_nodes + 1) // 128) * 128
+    inf = 2**31 - 1
+    blk = min(block, R)
+    while R % blk:
+        blk //= 2
+    grid = (R // blk,)
+    kernel = partial(_stats_accum_kernel, C=C, depth=depth, Np=Np, inf=inf)
+    cnt, kmin = pl.pallas_call(
+        kernel,
+        grid=grid,
+        out_shape=(
+            jax.ShapeDtypeStruct((R, Np), jnp.int32),
+            jax.ShapeDtypeStruct((R, Np), jnp.int32),
+        ),
+        in_specs=[
+            pl.BlockSpec((blk, C), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((blk, Np), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk, Np), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(node_t)
+    return cnt[:, :num_nodes], kmin[:, :num_nodes]
+
+
 def pair_matmuls_pallas_fits(B: int, N: int) -> bool:
     """True when the (N, N) outputs (double-buffered) + input blocks fit
     the 16MB VMEM budget — covers typical viral graphs (N up to ~700)."""

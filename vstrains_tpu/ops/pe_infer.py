@@ -500,30 +500,61 @@ def _dup_scan_stats_onehot_impl(q1, h2qi, valid, lo, tab_h1, tab_h2,
     return jax.lax.fori_loop(0, max_dup, body, (cnt, kmin))
 
 
+def _gather_node_slots(q1, h2qi, valid, lo, tab_h1, tab_h2, tab_node,
+                       max_dup: int, num_nodes: int):
+    """One gather pass over all duplicate ranks at once: per-slot matched
+    node id, [B, K*max_dup] int32 (slot j = window j//max_dup at rank
+    j%max_dup), with the sentinel `num_nodes` for misses."""
+    B, K = q1.shape
+    M = tab_h1.shape[0]
+    d = jax.lax.broadcasted_iota(jnp.int32, (1, 1, max_dup), 2)
+    pos = lo[:, :, None] + d
+    idx = jnp.minimum(pos, M - 1)
+    m = (valid[:, :, None] & (tab_h1[idx] == q1[:, :, None])
+         & (tab_h2[idx] == h2qi[:, :, None]) & (pos < M))
+    return jnp.where(m, tab_node[idx], num_nodes).reshape(B, K * max_dup)
+
+
 _ONEHOT_STATS_MAX_NODES = 512
 
 
-def _stats_use_onehot(num_nodes: int) -> bool:
-    """One-hot stats win on TPU (scatters serialize there); on CPU the
-    scatter path is plain fast memory writes and the one-hot's B*K*N
-    compares lose badly."""
-    if num_nodes > _ONEHOT_STATS_MAX_NODES:
-        return False
+def _stats_impl_choice(num_nodes: int, n_windows: int,
+                       max_dup: int) -> str:
+    """Pick the per-(read, node) stats accumulation implementation.
+
+    TPU: the Pallas VMEM-fused accumulator when the slot count and N fit
+    its budgets, else the one-hot compare path (XLA scatters serialize on
+    TPU). CPU: the scatter path (plain fast memory writes; the one-hot's
+    B*K*N compares lose badly there).
+    """
     dev = jax.config.jax_default_device
-    if dev is not None:
-        return dev.platform == "tpu"
-    return jax.default_backend() == "tpu"
+    on_tpu = (dev.platform == "tpu" if dev is not None
+              else jax.default_backend() == "tpu")
+    if not on_tpu:
+        return "scatter"
+    from vstrains_tpu.ops.pallas_kernels import stats_accum_pallas_fits
+    if stats_accum_pallas_fits(n_windows * max_dup, num_nodes):
+        return "pallas"
+    if num_nodes <= _ONEHOT_STATS_MAX_NODES:
+        return "onehot"
+    return "scatter"
 
 
 @partial(jax.jit,
          static_argnames=("split_len", "max_dup", "num_nodes",
-                          "use_onehot"))
+                          "stats_impl"))
 def _stats_saturate_kernel(q1, h2qi, valid, lo, lens, tab_h1, tab_h2,
                            tab_node, seq_lens, split_len: int,
                            max_dup: int, num_nodes: int,
-                           use_onehot: bool = False):
+                           stats_impl: str = "scatter"):
     """Duplicate-scan stats + saturation test (single-chip jit)."""
-    if use_onehot:
+    if stats_impl == "pallas":
+        from vstrains_tpu.ops.pallas_kernels import stats_accum_pallas
+        node_t = _gather_node_slots(q1, h2qi, valid, lo, tab_h1, tab_h2,
+                                    tab_node, max_dup, num_nodes)
+        cnt, kmin = stats_accum_pallas(node_t, depth=max_dup,
+                                       num_nodes=num_nodes)
+    elif stats_impl == "onehot":
         cnt, kmin = _dup_scan_stats_onehot_impl(
             q1, h2qi, valid, lo, tab_h1, tab_h2, tab_node, max_dup,
             num_nodes)
@@ -761,10 +792,12 @@ def _pe_batch_sorted(fc, fl, rc, rl, tab, split_len, max_dup, num_nodes,
     else:
         q1, h2qi, valid, lo = _hash_join_kernel(codes, lens, tab_h1,
                                                 split_len=split_len)
+    K = codes.shape[1] - split_len + 1
     sat = _stats_saturate_kernel(
         q1, h2qi, valid, lo, lens, tab_h1, tab_h2, tab_node,
         seq_lens, split_len=split_len, max_dup=max_dup,
-        num_nodes=num_nodes, use_onehot=_stats_use_onehot(num_nodes))
+        num_nodes=num_nodes,
+        stats_impl=_stats_impl_choice(num_nodes, K, max_dup))
     f = sat[:B]
     r = sat[B:]
     if use_pallas and pair_matmuls_pallas_fits(B, num_nodes):
@@ -786,6 +819,64 @@ def _pair_matmuls(f, r, num_nodes: int):
     cols = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
     short_mat = jnp.where(rows <= cols, same, 0.0)
     return node_mat.astype(jnp.int32), short_mat.astype(jnp.int32)
+
+
+def _stats_from_impl(q1, h2qi, valid, lo, tab_h1, tab_h2, tab_node,
+                     max_dup: int, num_nodes: int, stats_impl: str):
+    """Dispatch to one of the three (count, min-kindex) accumulators."""
+    if stats_impl == "pallas":
+        from vstrains_tpu.ops.pallas_kernels import stats_accum_pallas
+        node_t = _gather_node_slots(q1, h2qi, valid, lo, tab_h1, tab_h2,
+                                    tab_node, max_dup, num_nodes)
+        return stats_accum_pallas(node_t, depth=max_dup,
+                                  num_nodes=num_nodes)
+    if stats_impl == "onehot":
+        return _dup_scan_stats_onehot_impl(q1, h2qi, valid, lo, tab_h1,
+                                           tab_h2, tab_node, max_dup,
+                                           num_nodes)
+    return _dup_scan_stats_impl(q1, h2qi, valid, lo, tab_h1, tab_h2,
+                                tab_node, max_dup, num_nodes)
+
+
+@partial(jax.jit,
+         static_argnames=("split_len", "max_dup", "num_nodes",
+                          "stats_impl", "probe", "shift", "probe_depth"),
+         donate_argnums=(4, 5))
+def _pe_batch_fused(fc, fl, rc, rl, acc_nm, acc_sm, tab_h1, tab_h2,
+                    tab_node, seq_lens, bucket_starts,
+                    split_len: int, max_dup: int,
+                    num_nodes: int, stats_impl: str = "scatter",
+                    probe: str = "sort", shift: int = 32,
+                    probe_depth: int = 1):
+    """The whole per-batch pipeline — stack ends, hash, sort-merge join,
+    duplicate-scan stats, saturation, pair matmuls, accumulate — as ONE
+    jitted computation with donated accumulators.
+
+    Motivation: per-call dispatch overhead. Through the axon TPU relay a
+    single no-op jit dispatch costs ~29 ms wall (measured; async dispatch
+    does not pipeline RPCs), so the staged 4-6-call pipeline paid
+    ~120-175 ms/batch in pure round trips while actual device compute is
+    a few ms. One call per batch removes all of it; on directly-attached
+    TPUs it still saves dispatch and enables cross-stage XLA fusion.
+    Round 1's stage split existed to dodge a pathological monolithic
+    compile; the persistent compilation cache amortizes that one-time
+    cost, and the Pallas stats kernel (opaque to XLA's fusion search)
+    keeps the HLO graph partitioned where it mattered.
+    """
+    codes, lens = _stack_ends(fc, fl, rc, rl)
+    if probe == "lookup":
+        q1, h2qi, valid, lo = _hash_lookup_impl(
+            codes, lens, bucket_starts, tab_h1, split_len, shift,
+            probe_depth)
+    else:
+        q1, h2qi, valid, lo = _hash_join_impl(codes, lens, tab_h1,
+                                              split_len)
+    cnt, kmin = _stats_from_impl(q1, h2qi, valid, lo, tab_h1, tab_h2,
+                                 tab_node, max_dup, num_nodes, stats_impl)
+    sat = _saturate(cnt, kmin, lens, seq_lens, split_len)
+    B = fc.shape[0]
+    nm, sm = _pair_matmuls(sat[:B], sat[B:], num_nodes)
+    return acc_nm + nm, acc_sm + sm
 
 
 def _pe_batch_kernel(fwd_codes, fwd_len, rve_codes, rve_len,
@@ -983,6 +1074,20 @@ def infer_pe_links(ids: Sequence[str], seqs: Sequence[str],
                                    split_len=split_len,
                                    max_dup=table.max_dup,
                                    num_nodes=N))
+        # single-dispatch fused path (default): one jit call per batch
+        # with donated accumulators — dispatch overhead is the dominant
+        # per-batch cost on relay-attached TPUs (see _pe_batch_fused)
+        fused = (probe_mode in ("sort", "lookup")
+                 and not _use_pallas_hash())
+        if fused:
+            T = max(reads.fwd_codes.shape[1], reads.rve_codes.shape[1])
+            stats_impl = _stats_impl_choice(N, T - split_len + 1,
+                                            table.max_dup)
+            bstarts = jnp.asarray(table.bucket_starts)
+            probe_kw = dict(stats_impl=stats_impl, probe=probe_mode)
+            if probe_mode == "lookup":
+                probe_kw.update(shift=table.bucket_shift,
+                                probe_depth=table.scan_depth)
 
         acc_nm = jnp.zeros((N, N), jnp.int32)
         acc_sm = jnp.zeros((N, N), jnp.int32)
@@ -992,6 +1097,19 @@ def infer_pe_links(ids: Sequence[str], seqs: Sequence[str],
         spill_every = max(1, (2**30) // max(batch_size, 1))
         since_spill = 0
         for args in _prefetch_batches(reads, batch_size):
+            if fused:
+                acc_nm, acc_sm = _pe_batch_fused(
+                    *args, acc_nm, acc_sm, *tab, bstarts,
+                    split_len=split_len, max_dup=table.max_dup,
+                    num_nodes=N, **probe_kw)
+                since_spill += 1
+                if since_spill >= spill_every:
+                    node_mat += np.asarray(acc_nm, dtype=np.int64)
+                    short_mat += np.asarray(acc_sm, dtype=np.int64)
+                    acc_nm = jnp.zeros((N, N), jnp.int32)
+                    acc_sm = jnp.zeros((N, N), jnp.int32)
+                    since_spill = 0
+                continue
             if probe_mode == "searchsorted":
                 nm, sm = kern(*args, *tab)
             else:
