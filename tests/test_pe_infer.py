@@ -344,3 +344,24 @@ def test_stats_impls_agree():
                                    num_nodes=N, interpret=True)
     sat = P._saturate(cnt, kmin, lens, seq_lens, split_len)
     np.testing.assert_array_equal(np.asarray(base), np.asarray(sat))
+
+
+def test_sortfill_probe_matches_classic_at_depth():
+    """The gather-free payload-sort probe ("sort" auto-upgrade) equals
+    the classic sort-join ("sortjoin") on a graph with duplicate k-mer
+    runs (max_dup > 1), which exercises the pre-shifted payload chain."""
+    rng = np.random.RandomState(11)
+    k = 11
+    motif = _random_refs(rng, 1, [45])[0]
+    refs = [motif + _random_refs(rng, 1, [55])[0] for _ in range(5)]
+    fwd, rve = _sample_reads(rng, refs, 64, 30, k)
+    batch = _make_batch(fwd, rve, k + 1)
+    table = build_kmer_table(refs, k + 1)
+    assert 1 < table.max_dup <= 6
+    ids = [str(i) for i in range(5)]
+    a = infer_pe_links(ids, refs, batch, k, batch_size=32,
+                       probe_mode="sort")      # -> sortfill
+    b = infer_pe_links(ids, refs, batch, k, batch_size=32,
+                       probe_mode="sortjoin")  # classic join + gathers
+    np.testing.assert_array_equal(a.node_mat, b.node_mat)
+    np.testing.assert_array_equal(a.short_mat, b.short_mat)

@@ -527,16 +527,23 @@ def _stats_impl_choice(num_nodes: int, n_windows: int,
     TPU). CPU: the scatter path (plain fast memory writes; the one-hot's
     B*K*N compares lose badly there).
     """
+    import os
+    forced = os.environ.get("VSTRAINS_STATS_IMPL")
+    if forced in ("scatter", "onehot", "pallas"):
+        return forced
     dev = jax.config.jax_default_device
     on_tpu = (dev.platform == "tpu" if dev is not None
               else jax.default_backend() == "tpu")
     if not on_tpu:
         return "scatter"
+    if num_nodes <= _ONEHOT_STATS_MAX_NODES:
+        # measured inside the fused batch kernel on v5e: onehot 92,
+        # pallas 113, scatter 147 ms/batch — XLA fuses the one-hot with
+        # its gather producers; the Pallas call is an opaque boundary
+        return "onehot"
     from vstrains_tpu.ops.pallas_kernels import stats_accum_pallas_fits
     if stats_accum_pallas_fits(n_windows * max_dup, num_nodes):
         return "pallas"
-    if num_nodes <= _ONEHOT_STATS_MAX_NODES:
-        return "onehot"
     return "scatter"
 
 
@@ -568,6 +575,121 @@ def _stats_saturate_kernel(q1, h2qi, valid, lo, lens, tab_h1, tab_h2,
 @partial(jax.jit, static_argnames=("num_nodes",))
 def _pair_matmuls_jit(f, r, num_nodes: int):
     return _pair_matmuls(f, r, num_nodes)
+
+
+# --------------------------------------------------------------------------
+# payload-carrying sort-merge join ("sortfill" probe)
+#
+# Chained-execution microbenchmarks on v5e (tools history, round 2) put
+# the real device costs at: 3.3M-element random table gather ~23 ms,
+# 3.3M scatter ~15 ms, 3.4M 2-operand sort ~5 ms (+~0.8 ms per extra
+# operand), 3-tuple reverse associative scan ~12 ms. The classic join
+# (sort -> scatter lo -> 3 gathers in stats) therefore spends ~84 of its
+# ~92 ms/batch moving payloads through gathers. This probe eliminates
+# every gather: the table payload rides the sort as an extra operand
+# (pre-shifted per duplicate rank on host), a reverse first-valid scan
+# broadcasts each run's table entries to the queries of the run, and one
+# scatter per rank returns packed results to query order.
+#
+# Payload packing: bit31 tag | bits 9..30 = h2 >> 10 (22 bits) | bits
+# 0..8 = node id. The secondary-hash check narrows from 32 to 22 bits
+# (total verify 54 bits with the exact h1 join); the reference compares
+# exact strings, and the engine's dual-hash equality was already a
+# documented approximation (docs/DIVERGENCES.md) — 2^-54 per-probe
+# collision odds keep it far below any practical dataset's horizon.
+# Requires num_nodes <= 511 (9-bit ids); larger graphs use the classic
+# or sparse paths.
+# --------------------------------------------------------------------------
+
+_SORTFILL_MAX_NODES = 511
+_SORTFILL_MAX_DUP = 6
+
+
+def _build_sortfill_payloads(table: "KmerTable"):
+    """Host-built per-duplicate-rank payload arrays (int32 [M] each).
+
+    pays[d][i] packs (tag, h2_22, node) of table entry i+d when entries
+    i..i+d share one h1 (they are consecutive in the hash-sorted table),
+    else 0 (no tag bit -> never matches)."""
+    h1 = table.h1_biased
+    h2u = table.h2.view(np.uint32)
+    node = table.node.astype(np.uint32)
+    M = h1.shape[0]
+    D = min(table.max_dup, _SORTFILL_MAX_DUP)
+    pays = []
+    for d in range(D):
+        same = np.zeros(M, dtype=bool)
+        h2p = np.zeros(M, dtype=np.uint32)
+        nd = np.zeros(M, dtype=np.uint32)
+        if d == 0:
+            same[:] = True
+            h2p[:] = (h2u >> 10) & 0x3FFFFF
+            nd[:] = node
+        elif M > d:
+            same[: M - d] = h1[d:] == h1[:-d]
+            h2p[: M - d] = (h2u[d:] >> 10) & 0x3FFFFF
+            nd[: M - d] = node[d:]
+        pay = np.where(same,
+                       np.uint32(1 << 31) | (h2p << 9) | nd,
+                       np.uint32(0))
+        pays.append(pay.view(np.int32))
+    return tuple(pays)
+
+
+def _sortfill_node_slots(codes, lens, tab_h1, pays, split_len: int,
+                         num_nodes: int):
+    """Probe + per-slot matched node ids without any table gather.
+
+    Returns node_t int32 [B, K*D] (k-major slots, sentinel num_nodes for
+    misses) — the direct input of the slot accumulators."""
+    h1q, h2q, valid = _device_window_hashes(codes, lens, split_len)
+    B, K = h1q.shape
+    q1f = (h1q ^ jnp.uint32(0x80000000)).astype(jnp.int32).ravel()
+    Q = q1f.shape[0]
+    M = tab_h1.shape[0]
+    key = jnp.concatenate([q1f, tab_h1])
+    iota = jax.lax.iota(jnp.int32, Q + M)
+    zq = jnp.zeros(Q, jnp.int32)
+    ops = (key, iota) + tuple(jnp.concatenate([zq, p]) for p in pays)
+    skey, siota, *spays = jax.lax.sort(ops, num_keys=1, is_stable=True)
+    is_tab = (siota >= Q).astype(jnp.int32)
+
+    def fop(a, b):
+        # under reverse=True jax flips the operand array, so the RIGHT
+        # combine operand (b) holds the earlier original positions —
+        # preferring b-when-valid yields the NEAREST table entry
+        # at-or-after each position
+        av, *ax = a
+        bv, *bx = b
+        take_b = bv == 1
+        return (av | bv,) + tuple(jnp.where(take_b, y, x)
+                                  for x, y in zip(ax, bx))
+
+    fv, fkey, *fpays = jax.lax.associative_scan(
+        fop, (is_tab, skey) + tuple(spays), reverse=True)
+    okk = (fv == 1) & (fkey == skey) & (siota < Q)
+    qpos = jnp.where(siota < Q, siota, Q)
+    h2q22 = ((h2q >> jnp.uint32(10)).astype(jnp.int32)
+             & jnp.int32(0x3FFFFF))
+    slots = []
+    for fp in fpays:
+        outp = jnp.zeros(Q, jnp.int32).at[qpos].set(
+            jnp.where(okk, fp, 0), mode="drop").reshape(B, K)
+        m = valid & (outp < 0) & (((outp >> 9) & 0x3FFFFF) == h2q22)
+        slots.append(jnp.where(m, outp & 511, num_nodes))
+    return jnp.stack(slots, axis=2).reshape(B, K * len(pays))
+
+
+def _slots_onehot_accum(node_t, depth: int, num_nodes: int):
+    """(count, min-kindex) from per-slot node ids via one-hot compare —
+    the XLA counterpart of pallas_kernels.stats_accum_pallas."""
+    B, C = node_t.shape
+    ns = jax.lax.broadcasted_iota(jnp.int32, (1, 1, num_nodes), 2)
+    oh = node_t[:, :, None] == ns
+    cnt = oh.astype(jnp.int32).sum(axis=1)
+    kidx = jax.lax.broadcasted_iota(jnp.int32, (1, C, 1), 1) // depth
+    kmin = jnp.where(oh, kidx, _INF).min(axis=1)
+    return cnt, kmin
 
 
 # --------------------------------------------------------------------------
@@ -847,7 +969,7 @@ def _pe_batch_fused(fc, fl, rc, rl, acc_nm, acc_sm, tab_h1, tab_h2,
                     split_len: int, max_dup: int,
                     num_nodes: int, stats_impl: str = "scatter",
                     probe: str = "sort", shift: int = 32,
-                    probe_depth: int = 1):
+                    probe_depth: int = 1, pays=()):
     """The whole per-batch pipeline — stack ends, hash, sort-merge join,
     duplicate-scan stats, saturation, pair matmuls, accumulate — as ONE
     jitted computation with donated accumulators.
@@ -864,15 +986,26 @@ def _pe_batch_fused(fc, fl, rc, rl, acc_nm, acc_sm, tab_h1, tab_h2,
     keeps the HLO graph partitioned where it mattered.
     """
     codes, lens = _stack_ends(fc, fl, rc, rl)
-    if probe == "lookup":
-        q1, h2qi, valid, lo = _hash_lookup_impl(
-            codes, lens, bucket_starts, tab_h1, split_len, shift,
-            probe_depth)
+    if probe == "sortfill":
+        node_t = _sortfill_node_slots(codes, lens, tab_h1, pays,
+                                      split_len, num_nodes)
+        if stats_impl == "pallas":
+            from vstrains_tpu.ops.pallas_kernels import stats_accum_pallas
+            cnt, kmin = stats_accum_pallas(node_t, depth=len(pays),
+                                           num_nodes=num_nodes)
+        else:
+            cnt, kmin = _slots_onehot_accum(node_t, len(pays), num_nodes)
     else:
-        q1, h2qi, valid, lo = _hash_join_impl(codes, lens, tab_h1,
-                                              split_len)
-    cnt, kmin = _stats_from_impl(q1, h2qi, valid, lo, tab_h1, tab_h2,
-                                 tab_node, max_dup, num_nodes, stats_impl)
+        if probe == "lookup":
+            q1, h2qi, valid, lo = _hash_lookup_impl(
+                codes, lens, bucket_starts, tab_h1, split_len, shift,
+                probe_depth)
+        else:
+            q1, h2qi, valid, lo = _hash_join_impl(codes, lens, tab_h1,
+                                                  split_len)
+        cnt, kmin = _stats_from_impl(q1, h2qi, valid, lo, tab_h1,
+                                     tab_h2, tab_node, max_dup,
+                                     num_nodes, stats_impl)
     sat = _saturate(cnt, kmin, lens, seq_lens, split_len)
     B = fc.shape[0]
     nm, sm = _pair_matmuls(sat[:B], sat[B:], num_nodes)
@@ -1077,15 +1210,29 @@ def infer_pe_links(ids: Sequence[str], seqs: Sequence[str],
         # single-dispatch fused path (default): one jit call per batch
         # with donated accumulators — dispatch overhead is the dominant
         # per-batch cost on relay-attached TPUs (see _pe_batch_fused)
-        fused = (probe_mode in ("sort", "lookup")
+        fused = (probe_mode in ("sort", "sortjoin", "sortfill", "lookup")
                  and not _use_pallas_hash())
         if fused:
             T = max(reads.fwd_codes.shape[1], reads.rve_codes.shape[1])
             stats_impl = _stats_impl_choice(N, T - split_len + 1,
                                             table.max_dup)
             bstarts = jnp.asarray(table.bucket_starts)
-            probe_kw = dict(stats_impl=stats_impl, probe=probe_mode)
-            if probe_mode == "lookup":
+            probe = probe_mode
+            # "sort" auto-upgrades to the gather-free payload-sort probe
+            # when the graph fits its packing; the choice is a function
+            # of the table alone so CPU and TPU runs stay bit-identical.
+            # "sortjoin" forces the classic join (cross-check path).
+            if (probe == "sort" and N <= _SORTFILL_MAX_NODES
+                    and table.max_dup <= _SORTFILL_MAX_DUP):
+                probe = "sortfill"
+            elif probe == "sortjoin":
+                probe = "sort"
+            probe_kw = dict(stats_impl=stats_impl, probe=probe)
+            if probe == "sortfill":
+                probe_kw["pays"] = tuple(
+                    jnp.asarray(p)
+                    for p in _build_sortfill_payloads(table))
+            elif probe == "lookup":
                 probe_kw.update(shift=table.bucket_shift,
                                 probe_depth=table.scan_depth)
 
