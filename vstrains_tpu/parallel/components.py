@@ -122,6 +122,77 @@ def process_component(payload: dict, delta: float) -> Dict[str, list]:
     return strain_dict
 
 
+def _allgather_json(obj, logger: logging.Logger = None):
+    """All-gather one JSON-serializable object per jax.distributed
+    process; returns the list of every process's object (self included),
+    indexed by process id.
+
+    Strain dicts are tiny host data, so they travel as length-padded
+    uint8 buffers through two `process_allgather` calls (lengths, then
+    payload bytes) — the DCN control-plane analogue of the int32-halves
+    matrix merge in parallel/distributed.py."""
+    import json
+
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.multihost_utils import process_allgather
+
+    def _np_default(o):
+        if isinstance(o, np.integer):
+            return int(o)
+        if isinstance(o, np.floating):
+            return float(o)
+        raise TypeError(f"not JSON-serializable: {type(o)!r}")
+
+    raw = json.dumps(obj, default=_np_default).encode()
+    lens = np.atleast_1d(np.asarray(
+        process_allgather(jnp.asarray(np.int32(len(raw))))))
+    cap = int(lens.max())
+    buf = np.zeros(cap, np.uint8)
+    buf[: len(raw)] = np.frombuffer(raw, np.uint8)
+    bufs = np.asarray(process_allgather(jnp.asarray(buf)))
+    if jax.process_count() == 1:
+        bufs = bufs.reshape(1, -1)
+    return [json.loads(bytes(bufs[i][: int(lens[i])]).decode())
+            for i in range(len(lens))]
+
+
+def run_components_multihost(view: GraphView, contig_dict: dict,
+                             pe_info: dict, dcpy_pe_info: dict,
+                             delta: float,
+                             logger: logging.Logger = None
+                             ) -> Dict[str, list]:
+    """Per-component extraction sharded round-robin over jax.distributed
+    processes — the cross-host dispatch of the same worker payloads the
+    local process pool runs (docstring at module top).
+
+    Every process holds the replicated graph and PE info (they are small
+    — viral genomes), extracts the components with index % nproc ==
+    process_index, and the per-component strain dicts are exchanged with
+    `_allgather_json`, so all processes return the identical merged
+    result in deterministic component order."""
+    import jax
+
+    logger = logger or _LOG
+    rank, nproc = jax.process_index(), jax.process_count()
+    payloads = component_payloads(view, contig_dict, pe_info, dcpy_pe_info)
+    mine = {ci: process_component(payloads[ci], delta)
+            for ci in range(rank, len(payloads), nproc)}
+    logger.info("per-component multihost: process %d/%d extracted %d of "
+                "%d components", rank, nproc, len(mine), len(payloads))
+    results: Dict[int, dict] = {}
+    for per_proc in _allgather_json(mine, logger):
+        results.update({int(ci): sd for ci, sd in per_proc.items()})
+    merged: Dict[str, list] = {}
+    for ci in range(len(payloads)):
+        for sno, rec in results.get(ci, {}).items():
+            name = sno if len(payloads) == 1 else f"{sno}c{ci}"
+            merged[name] = rec
+    return merged
+
+
 def run_components(view: GraphView, contig_dict: dict, pe_info: dict,
                    dcpy_pe_info: dict, delta: float,
                    workers: int = 1,

@@ -274,10 +274,18 @@ def run(args, logger: logging.Logger = None) -> int:
             with timer.stage("per_component_extraction", logger):
                 delta = 0.05 * float(numpy.median(
                     [v.dp for v in view2.graph.vertices()]))
-                strain_dict = run_components(
-                    view2, contig_dict, pe_info, dcpy_pe_info, delta,
-                    workers=getattr(args, "component_workers", 1) or 1,
-                    logger=logger)
+                import jax
+                if jax.process_count() > 1:
+                    from vstrains_tpu.parallel.components import (
+                        run_components_multihost)
+                    strain_dict = run_components_multihost(
+                        view2, contig_dict, pe_info, dcpy_pe_info,
+                        delta, logger=logger)
+                else:
+                    strain_dict = run_components(
+                        view2, contig_dict, pe_info, dcpy_pe_info, delta,
+                        workers=getattr(args, "component_workers", 1) or 1,
+                        logger=logger)
                 ckpt.save_stage(temp_dir, "extended",
                                 {"strain_dict": strain_dict})
 
