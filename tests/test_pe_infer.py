@@ -365,3 +365,43 @@ def test_sortfill_probe_matches_classic_at_depth():
                        probe_mode="sortjoin")  # classic join + gathers
     np.testing.assert_array_equal(a.node_mat, b.node_mat)
     np.testing.assert_array_equal(a.short_mat, b.short_mat)
+
+
+def test_length_buckets_plan():
+    from vstrains_tpu.ops.pe_infer import _length_buckets
+    rng = np.random.RandomState(5)
+    n = 1024
+    # 85% short (100bp), 12% medium (200bp), 3% rare long (290bp)
+    lens = rng.choice([100, 200, 290], size=n, p=[0.85, 0.12, 0.03])
+    T = 320
+    fc = np.zeros((n, T), np.uint8)
+    fl = lens.astype(np.int32)
+    batch = type("B", (), dict(num_pairs=n, fwd_codes=fc, fwd_len=fl,
+                               rve_codes=fc, rve_len=fl))()
+    plan = _length_buckets(batch, 22, batch_size=128)
+    widths = [w for w, _ in plan]
+    # rare 290bp merges into the widest bucket; the widest survives
+    assert widths == [320, 224, 128]
+    assert sum(len(ix) for _, ix in plan) == n
+    # uniform widths -> no plan
+    batch.fwd_len = batch.rve_len = np.full(n, 100, np.int32)
+    batch.fwd_codes = batch.rve_codes = fc[:, :128]
+    assert _length_buckets(batch, 22, batch_size=128) is None
+
+
+def test_bucketed_matches_unbucketed_mixed_lengths():
+    """Mixed-length library: the width-bucketed feed (active at
+    batch_size=128 with 1200 pairs) must produce the exact matrices of
+    the single-width feed (bucketing disabled by the 4x-batch gate)."""
+    rng = np.random.RandomState(23)
+    k = 11
+    refs = _random_refs(rng, 6, [300, 350, 400, 300, 350, 400])
+    short_f, short_r = _sample_reads(rng, refs, 900, 40, k)
+    long_f, long_r = _sample_reads(rng, refs, 300, 120, k)
+    fwd, rve = short_f + long_f, short_r + long_r
+    batch = _make_batch(fwd, rve, k + 1)
+    ids = [str(i) for i in range(len(refs))]
+    a = infer_pe_links(ids, refs, batch, k, batch_size=128)
+    b = infer_pe_links(ids, refs, batch, k, batch_size=4096)
+    np.testing.assert_array_equal(a.node_mat, b.node_mat)
+    np.testing.assert_array_equal(a.short_mat, b.short_mat)

@@ -1077,6 +1077,46 @@ def _prefetch_batches(reads: ReadPairBatch, batch_size: int):
     t.join()
 
 
+def _length_buckets(reads: ReadPairBatch, split_len: int,
+                    batch_size: int, multiple: int = 32,
+                    min_frac: float = 0.10, min_saving: float = 0.15):
+    """Width buckets for mixed-length libraries.
+
+    Reads are padded to the dataset-wide maximum, so one 300bp read in a
+    150bp library doubles every window count. Pairs are grouped by
+    max(end lengths) rounded up to `multiple`; buckets holding under
+    `min_frac` of the pairs merge into the next wider one (each distinct
+    width is its own XLA compile — minutes over a remote-compile link,
+    so rare widths are not worth a kernel). Returns a list of
+    (width, index-array) in descending width order, or None when
+    bucketing would save < `min_saving` of the window volume (uniform
+    libraries, tiny datasets).
+
+    Safe to reorder: the accumulated matrices are integer sums over
+    pairs, invariant under any pair permutation."""
+    n = reads.num_pairs
+    if n < 4 * batch_size:
+        return None
+    t_max = max(reads.fwd_codes.shape[1], reads.rve_codes.shape[1])
+    w = np.maximum(reads.fwd_len[:n], reads.rve_len[:n])
+    w = np.maximum(w, split_len)
+    w = np.minimum(-(-w // multiple) * multiple, t_max)
+    widths, counts = np.unique(w, return_counts=True)
+    if len(widths) == 1:
+        return None
+    # merge sub-threshold buckets upward (the widest always survives)
+    kept = [int(wd) for wd, c in zip(widths, counts)
+            if c >= min_frac * n or wd == widths[-1]]
+    target = np.empty_like(w)
+    for wd in sorted(kept, reverse=True):
+        target[w <= wd] = wd
+    vol = sum(int((target == wd).sum()) * wd for wd in kept)
+    if vol > (1.0 - min_saving) * n * t_max:
+        return None
+    return [(wd, np.nonzero(target == wd)[0])
+            for wd in sorted(kept, reverse=True)]
+
+
 @dataclass
 class PEResult:
     ids: List[str]
@@ -1243,7 +1283,26 @@ def infer_pe_links(ids: Sequence[str], seqs: Sequence[str],
         # safety margin
         spill_every = max(1, (2**30) // max(batch_size, 1))
         since_spill = 0
-        for args in _prefetch_batches(reads, batch_size):
+        # mixed-length libraries: feed per-width bucket sub-batches so
+        # short reads don't pay the widest read's window count (the
+        # stats-impl pick above uses the full width — conservative for
+        # the pallas fit check, identical results either way)
+        buckets = (_length_buckets(reads, split_len, batch_size)
+                   if fused else None)
+        if buckets is None:
+            parts = [reads]
+        else:
+            logger.info("length buckets (width, pairs): %s",
+                        [(wd, len(ix)) for wd, ix in buckets])
+            parts = [ReadPairBatch(
+                np.ascontiguousarray(reads.fwd_codes[ix, :wd]),
+                reads.fwd_len[ix],
+                np.ascontiguousarray(reads.rve_codes[ix, :wd]),
+                reads.rve_len[ix], 0, 0, len(ix)) for wd, ix in buckets]
+        import itertools
+        feed = itertools.chain.from_iterable(
+            _prefetch_batches(p, batch_size) for p in parts)
+        for args in feed:
             if fused:
                 acc_nm, acc_sm = _pe_batch_fused(
                     *args, acc_nm, acc_sm, *tab, bstarts,
