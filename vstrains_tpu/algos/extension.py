@@ -169,7 +169,7 @@ def contig_extension(view: GraphView, contig: List[str], ccov: float,
             logger.debug("Reach the end")
         elif len(out_branches) == 1:
             curr = out_branches[0]
-            logger.debug("direct extending.. %s", curr.vid)
+            logger.debug("unique edge, walking on to %s", curr.vid)
         else:
             f_assigned = False
             if curr.vid in full_link and len(final_path) > 1:
@@ -232,7 +232,7 @@ def contig_extension(view: GraphView, contig: List[str], ccov: float,
                              threshold, ccov)
                 if (single_bests[0][1] - ccov > -threshold
                         and single_bests[1][1] - ccov <= -threshold):
-                    logger.debug("Last bit succ")
+                    logger.debug("top-vs-runner-up coverage test passed")
                     curr = single_bests[0][0]
                 else:
                     logger.debug("Last bit fail")
@@ -252,7 +252,7 @@ def contig_extension(view: GraphView, contig: List[str], ccov: float,
             logger.debug("Reach the end")
         elif len(in_branches) == 1:
             curr = in_branches[0]
-            logger.debug("direct extending.. %s", curr.vid)
+            logger.debug("unique edge, walking on to %s", curr.vid)
         else:
             f_assigned = False
             if curr.vid in full_link and len(final_path) > 1:
@@ -315,7 +315,7 @@ def contig_extension(view: GraphView, contig: List[str], ccov: float,
                              threshold, ccov)
                 if (single_bests[0][1] - ccov > -threshold
                         and single_bests[1][1] - ccov <= -threshold):
-                    logger.debug("Last bit succ")
+                    logger.debug("top-vs-runner-up coverage test passed")
                     curr = single_bests[0][0]
                 else:
                     logger.debug("Last bit fail")

@@ -192,7 +192,7 @@ def run(args, logger: logging.Logger = None) -> int:
     for cno, [contig, _, _] in list(contig_dict.items()):
         if any(c not in view1.nodes for c in contig):
             contig_dict.pop(cno)
-            logger.debug("unreliable contig with low coverage: %s", cno)
+            logger.debug("dropping contig %s: it crosses a removed node", cno)
 
     # graph k-mer size = overlap of the first edge
     ksize = (next(iter(view1.edges.values())).overlap
