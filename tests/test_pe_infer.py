@@ -405,3 +405,30 @@ def test_bucketed_matches_unbucketed_mixed_lengths():
     b = infer_pe_links(ids, refs, batch, k, batch_size=4096)
     np.testing.assert_array_equal(a.node_mat, b.node_mat)
     np.testing.assert_array_equal(a.short_mat, b.short_mat)
+
+
+def test_sortfill_fill_impls_agree():
+    """The scan fill and the cummin fill (rev-cummin over ascending
+    table rows + per-rank gathers) produce identical slot tensors."""
+    import jax.numpy as jnp
+    import vstrains_tpu.ops.pe_infer as P
+    rng = np.random.RandomState(3)
+    k = 11
+    motif = _random_refs(rng, 1, [40])[0]
+    refs = [motif + _random_refs(rng, 1, [60])[0] for _ in range(4)]
+    fwd, rve = _sample_reads(rng, refs, 48, 34, k)
+    batch = _make_batch(fwd, rve, k + 1)
+    table = build_kmer_table(refs, k + 1)
+    assert table.max_dup > 1
+    pays = tuple(jnp.asarray(p)
+                 for p in P._build_sortfill_payloads(table))
+    codes, lens = P._stack_ends(
+        jnp.asarray(batch.fwd_codes), jnp.asarray(batch.fwd_len),
+        jnp.asarray(batch.rve_codes), jnp.asarray(batch.rve_len))
+    a = P._sortfill_node_slots(codes, lens, jnp.asarray(table.h1_biased),
+                               pays, k + 1, len(refs), fill="scan")
+    b = P._sortfill_node_slots(codes, lens, jnp.asarray(table.h1_biased),
+                               pays, k + 1, len(refs), fill="cummin")
+    hits = int((np.asarray(a) < len(refs)).sum())
+    assert hits > 0, "no matches exercised"
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

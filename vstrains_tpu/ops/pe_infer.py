@@ -637,11 +637,25 @@ def _build_sortfill_payloads(table: "KmerTable"):
 
 
 def _sortfill_node_slots(codes, lens, tab_h1, pays, split_len: int,
-                         num_nodes: int):
-    """Probe + per-slot matched node ids without any table gather.
+                         num_nodes: int, fill: str = "cummin"):
+    """Probe + per-slot matched node ids without a full-table gather.
 
     Returns node_t int32 [B, K*D] (k-major slots, sentinel num_nodes for
-    misses) — the direct input of the slot accumulators."""
+    misses) — the direct input of the slot accumulators.
+
+    Two bit-identical fill implementations:
+      * 'scan' — the payloads ride the sort as extra operands and a
+        reverse first-valid associative scan broadcasts each run's table
+        entries to its queries. Zero gathers, but the unrolled
+        multi-operand scan tree is an XLA compile bomb (~18 min on the
+        remote-compile link vs ~15 s for the classic join).
+      * 'cummin' — the sort carries only (key, iota); because the table
+        is hash-sorted, table rows appear in ascending order inside the
+        stable sort output, so the nearest table entry at-or-after each
+        position is just a reverse cummin of the row number (and its key
+        a reverse cummin of the masked key). Payloads then come from D
+        small gathers indexed by table row. Two primitive cumulative
+        ops compile in seconds."""
     h1q, h2q, valid = _device_window_hashes(codes, lens, split_len)
     B, K = h1q.shape
     q1f = (h1q ^ jnp.uint32(0x80000000)).astype(jnp.int32).ravel()
@@ -649,6 +663,27 @@ def _sortfill_node_slots(codes, lens, tab_h1, pays, split_len: int,
     M = tab_h1.shape[0]
     key = jnp.concatenate([q1f, tab_h1])
     iota = jax.lax.iota(jnp.int32, Q + M)
+    h2q22 = ((h2q >> jnp.uint32(10)).astype(jnp.int32)
+             & jnp.int32(0x3FFFFF))
+
+    if fill == "cummin":
+        skey, siota = jax.lax.sort((key, iota), num_keys=1,
+                                   is_stable=True)
+        row = jnp.where(siota >= Q, siota - Q, M)
+        ti = jax.lax.cummin(row, axis=0, reverse=True)
+        tkey = jnp.where(siota >= Q, skey, _INF)
+        fkey = jax.lax.cummin(tkey, axis=0, reverse=True)
+        okk = (ti < M) & (fkey == skey) & (siota < Q)
+        qpos = jnp.where(siota < Q, siota, Q)
+        ti_q = jnp.full(Q, M, jnp.int32).at[qpos].set(
+            jnp.where(okk, ti, M), mode="drop").reshape(B, K)
+        slots = []
+        for p in pays:
+            outp = jnp.take(p, ti_q, mode="fill", fill_value=0)
+            m = valid & (outp < 0) & (((outp >> 9) & 0x3FFFFF) == h2q22)
+            slots.append(jnp.where(m, outp & 511, num_nodes))
+        return jnp.stack(slots, axis=2).reshape(B, K * len(pays))
+
     zq = jnp.zeros(Q, jnp.int32)
     ops = (key, iota) + tuple(jnp.concatenate([zq, p]) for p in pays)
     skey, siota, *spays = jax.lax.sort(ops, num_keys=1, is_stable=True)
@@ -669,8 +704,6 @@ def _sortfill_node_slots(codes, lens, tab_h1, pays, split_len: int,
         fop, (is_tab, skey) + tuple(spays), reverse=True)
     okk = (fv == 1) & (fkey == skey) & (siota < Q)
     qpos = jnp.where(siota < Q, siota, Q)
-    h2q22 = ((h2q >> jnp.uint32(10)).astype(jnp.int32)
-             & jnp.int32(0x3FFFFF))
     slots = []
     for fp in fpays:
         outp = jnp.zeros(Q, jnp.int32).at[qpos].set(
@@ -962,14 +995,15 @@ def _stats_from_impl(q1, h2qi, valid, lo, tab_h1, tab_h2, tab_node,
 
 @partial(jax.jit,
          static_argnames=("split_len", "max_dup", "num_nodes",
-                          "stats_impl", "probe", "shift", "probe_depth"),
+                          "stats_impl", "probe", "shift", "probe_depth",
+                          "fill"),
          donate_argnums=(4, 5))
 def _pe_batch_fused(fc, fl, rc, rl, acc_nm, acc_sm, tab_h1, tab_h2,
                     tab_node, seq_lens, bucket_starts,
                     split_len: int, max_dup: int,
                     num_nodes: int, stats_impl: str = "scatter",
                     probe: str = "sort", shift: int = 32,
-                    probe_depth: int = 1, pays=()):
+                    probe_depth: int = 1, pays=(), fill: str = "cummin"):
     """The whole per-batch pipeline — stack ends, hash, sort-merge join,
     duplicate-scan stats, saturation, pair matmuls, accumulate — as ONE
     jitted computation with donated accumulators.
@@ -988,7 +1022,7 @@ def _pe_batch_fused(fc, fl, rc, rl, acc_nm, acc_sm, tab_h1, tab_h2,
     codes, lens = _stack_ends(fc, fl, rc, rl)
     if probe == "sortfill":
         node_t = _sortfill_node_slots(codes, lens, tab_h1, pays,
-                                      split_len, num_nodes)
+                                      split_len, num_nodes, fill=fill)
         if stats_impl == "pallas":
             from vstrains_tpu.ops.pallas_kernels import stats_accum_pallas
             cnt, kmin = stats_accum_pallas(node_t, depth=len(pays),
@@ -1272,6 +1306,8 @@ def infer_pe_links(ids: Sequence[str], seqs: Sequence[str],
                 probe_kw["pays"] = tuple(
                     jnp.asarray(p)
                     for p in _build_sortfill_payloads(table))
+                probe_kw["fill"] = _os.environ.get(
+                    "VSTRAINS_SORTFILL_FILL", "cummin")
             elif probe == "lookup":
                 probe_kw.update(shift=table.bucket_shift,
                                 probe_depth=table.scan_depth)
