@@ -432,3 +432,137 @@ def test_sortfill_fill_impls_agree():
     hits = int((np.asarray(a) < len(refs)).sum())
     assert hits > 0, "no matches exercised"
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sortfill_node_bits_gate():
+    from vstrains_tpu.ops.pe_infer import _sortfill_node_bits
+    assert _sortfill_node_bits(1) == 9
+    assert _sortfill_node_bits(512) == 9
+    assert _sortfill_node_bits(513) == 10
+    assert _sortfill_node_bits(1 << 18) == 18
+    assert _sortfill_node_bits((1 << 18) + 1) is None
+
+
+def test_sparse_sortfill_adaptive_node_bits():
+    """Beyond 512 nodes the sparse sortfill probe packs wider node ids
+    (narrower h2 check); its COO output must equal the classic join's."""
+    rng = np.random.RandomState(11)
+    k = 13
+    n = 600  # node_bits = 10
+    refs = _random_refs(rng, n, [60] * n)
+    fwd, rve = _sample_reads(rng, refs, 240, 30, k)
+    batch = _make_batch(fwd, rve, k + 1)
+    ids = [str(i) for i in range(n)]
+    a = infer_pe_links(ids, refs, batch, k, batch_size=128,
+                       stats_mode="sparse")
+    b = infer_pe_links(ids, refs, batch, k, batch_size=128,
+                       stats_mode="sparse", probe_mode="sortjoin")
+    np.testing.assert_array_equal(a.pair_keys, b.pair_keys)
+    np.testing.assert_array_equal(a.pair_counts, b.pair_counts)
+    np.testing.assert_array_equal(a.short_keys, b.short_keys)
+    np.testing.assert_array_equal(a.short_counts, b.short_counts)
+
+
+def test_sparse_sortfill_matches_oracle_small():
+    """Sparse sortfill vs the reference-loop oracle on a small graph
+    with duplicate k-mers (multi-rank payloads exercised)."""
+    rng = np.random.RandomState(21)
+    k = 11
+    motif = _random_refs(rng, 1, [30])[0]
+    refs = [motif + s for s in _random_refs(rng, 5, [50] * 5)]
+    fwd, rve = _sample_reads(rng, refs, 64, 28, k)
+    batch = _make_batch(fwd, rve, k + 1)
+    table = build_kmer_table(refs, k + 1)
+    assert table.max_dup > 1
+    ids = [str(i) for i in range(len(refs))]
+    sparse = infer_pe_links(ids, refs, batch, k, batch_size=16,
+                            stats_mode="sparse")
+    nm, sm, *_ = oracle_pe_matrices(refs, fwd, rve, k)
+    np.testing.assert_array_equal(
+        _coo_to_dense(sparse.pair_keys, sparse.pair_counts, len(refs)),
+        nm)
+    np.testing.assert_array_equal(
+        _coo_to_dense(sparse.short_keys, sparse.short_counts, len(refs)),
+        sm)
+
+
+def test_wire_roundtrip_matches_stack_ends():
+    """Wire pack/unpack reproduces the stacked end-batch exactly for
+    clean chunks (padding bases differ but are masked by the length
+    test; compare within-read content and lengths)."""
+    import jax.numpy as jnp
+    import vstrains_tpu.ops.pe_infer as P
+    rng = np.random.RandomState(7)
+    refs = _random_refs(rng, 3, [70, 80, 90])
+    fwd, rve = _sample_reads(rng, refs, 33, 29, 11)
+    batch = _make_batch(fwd, rve, 12)
+    T = max(batch.fwd_codes.shape[1], batch.rve_codes.shape[1])
+    wire = P._pack_wire_np(batch.fwd_codes, batch.fwd_len,
+                           batch.rve_codes, batch.rve_len, T)
+    assert wire.shape[1] == P._wire_width(T)
+    codes, lens = P._unpack_wire(jnp.asarray(wire), T)
+    codes = np.asarray(codes)
+    lens = np.asarray(lens)
+    ref_lens = np.concatenate([batch.fwd_len, batch.rve_len])
+    np.testing.assert_array_equal(lens, ref_lens)
+    ref_codes = np.concatenate([
+        np.pad(batch.fwd_codes,
+               ((0, 0), (0, T - batch.fwd_codes.shape[1])),
+               constant_values=255),
+        np.pad(batch.rve_codes,
+               ((0, 0), (0, T - batch.rve_codes.shape[1])),
+               constant_values=255)])
+    for i in range(codes.shape[0]):
+        np.testing.assert_array_equal(codes[i, :lens[i]],
+                                      ref_codes[i, :lens[i]])
+
+
+def _run_with_feed_spy(ids, refs, batch, k, **kw):
+    import vstrains_tpu.ops.pe_infer as P
+    feeds = []
+    orig = P._wire_batches
+
+    def spy(reads, bs, stage_bytes=1 << 28, force_bytes=False):
+        for kind, payload in orig(reads, bs, stage_bytes, force_bytes):
+            feeds.append(kind)
+            yield kind, payload
+
+    P._wire_batches = spy
+    try:
+        res = infer_pe_links(ids, refs, batch, k, **kw)
+    finally:
+        P._wire_batches = orig
+    return res, feeds
+
+
+def test_wire_feed_matches_oracle_clean():
+    """A clean library rides the compact wire format and matches the
+    reference-loop oracle exactly."""
+    rng = np.random.RandomState(13)
+    refs = _random_refs(rng, 4, [90, 100, 110, 120])
+    fwd, rve = _sample_reads(rng, refs, 120, 32, 11)
+    batch = _make_batch(fwd, rve, 12)
+    ids = [str(i) for i in range(4)]
+    res, feeds = _run_with_feed_spy(ids, refs, batch, 11, batch_size=32)
+    assert set(feeds) == {"wire"}
+    nm, sm, *_ = oracle_pe_matrices(refs, fwd, rve, 11)
+    np.testing.assert_array_equal(res.node_mat, nm)
+    np.testing.assert_array_equal(res.short_mat, sm)
+
+
+def test_wire_feed_iupac_falls_back_to_bytes():
+    """Reads with IUPAC bases (which pass the loader's N-filter) force
+    the chunk onto the byte path; results still match the oracle, where
+    such windows simply never match a table k-mer."""
+    rng = np.random.RandomState(13)
+    refs = _random_refs(rng, 4, [90, 100, 110, 120])
+    fwd, rve = _sample_reads(rng, refs, 120, 32, 11)
+    fwd = [("R" + f[1:]) if i % 17 == 0 else f
+           for i, f in enumerate(fwd)]
+    batch = _make_batch(fwd, rve, 12)
+    ids = [str(i) for i in range(4)]
+    res, feeds = _run_with_feed_spy(ids, refs, batch, 11, batch_size=32)
+    assert set(feeds) == {"bytes"}
+    nm, sm, *_ = oracle_pe_matrices(refs, fwd, rve, 11)
+    np.testing.assert_array_equal(res.node_mat, nm)
+    np.testing.assert_array_equal(res.short_mat, sm)

@@ -591,31 +591,42 @@ def _pair_matmuls_jit(f, r, num_nodes: int):
 # broadcasts each run's table entries to the queries of the run, and one
 # scatter per rank returns packed results to query order.
 #
-# Payload packing: bit31 tag | bits 9..30 = h2 >> 10 (22 bits) | bits
-# 0..8 = node id. The secondary-hash check narrows from 32 to 22 bits
-# (total verify 54 bits with the exact h1 join); the reference compares
+# Payload packing (adaptive): bit31 tag | h2_bits of h2's top bits |
+# node_bits = max(9, bits(N-1)) node id, with h2_bits = 31 - node_bits.
+# The secondary-hash check narrows from 32 to h2_bits bits (total verify
+# 32 + h2_bits >= 45 bits with the exact h1 join); the reference compares
 # exact strings, and the engine's dual-hash equality was already a
-# documented approximation (docs/DIVERGENCES.md) — 2^-54 per-probe
+# documented approximation (docs/DIVERGENCES.md) — <= 2^-45 per-probe
 # collision odds keep it far below any practical dataset's horizon.
-# Requires num_nodes <= 511 (9-bit ids); larger graphs use the classic
-# or sparse paths.
+# Graphs beyond 2^18 nodes (h2 check would drop under 13 bits) use the
+# classic join.
 # --------------------------------------------------------------------------
 
-_SORTFILL_MAX_NODES = 511
+_SORTFILL_MAX_NODE_BITS = 18
 _SORTFILL_MAX_DUP = 6
 
 
-def _build_sortfill_payloads(table: "KmerTable"):
+def _sortfill_node_bits(num_nodes: int):
+    """Payload node-id width for a graph, or None when the graph is too
+    large for the packed-payload probe. A function of N alone so every
+    backend/mesh picks the same probe (bit-identical outputs)."""
+    bits = max(9, int(num_nodes - 1).bit_length()) if num_nodes > 1 else 9
+    return bits if bits <= _SORTFILL_MAX_NODE_BITS else None
+
+
+def _build_sortfill_payloads(table: "KmerTable", node_bits: int = 9):
     """Host-built per-duplicate-rank payload arrays (int32 [M] each).
 
-    pays[d][i] packs (tag, h2_22, node) of table entry i+d when entries
-    i..i+d share one h1 (they are consecutive in the hash-sorted table),
-    else 0 (no tag bit -> never matches)."""
+    pays[d][i] packs (tag, h2 top bits, node) of table entry i+d when
+    entries i..i+d share one h1 (they are consecutive in the hash-sorted
+    table), else 0 (no tag bit -> never matches)."""
     h1 = table.h1_biased
     h2u = table.h2.view(np.uint32)
     node = table.node.astype(np.uint32)
     M = h1.shape[0]
     D = min(table.max_dup, _SORTFILL_MAX_DUP)
+    h2_bits = 31 - node_bits
+    h2_shift = np.uint32(32 - h2_bits)
     pays = []
     for d in range(D):
         same = np.zeros(M, dtype=bool)
@@ -623,21 +634,22 @@ def _build_sortfill_payloads(table: "KmerTable"):
         nd = np.zeros(M, dtype=np.uint32)
         if d == 0:
             same[:] = True
-            h2p[:] = (h2u >> 10) & 0x3FFFFF
+            h2p[:] = h2u >> h2_shift
             nd[:] = node
         elif M > d:
             same[: M - d] = h1[d:] == h1[:-d]
-            h2p[: M - d] = (h2u[d:] >> 10) & 0x3FFFFF
+            h2p[: M - d] = h2u[d:] >> h2_shift
             nd[: M - d] = node[d:]
         pay = np.where(same,
-                       np.uint32(1 << 31) | (h2p << 9) | nd,
+                       np.uint32(1 << 31) | (h2p << node_bits) | nd,
                        np.uint32(0))
         pays.append(pay.view(np.int32))
     return tuple(pays)
 
 
 def _sortfill_node_slots(codes, lens, tab_h1, pays, split_len: int,
-                         num_nodes: int, fill: str = "cummin"):
+                         num_nodes: int, fill: str = "cummin",
+                         node_bits: int = 9):
     """Probe + per-slot matched node ids without a full-table gather.
 
     Returns node_t int32 [B, K*D] (k-major slots, sentinel num_nodes for
@@ -663,8 +675,10 @@ def _sortfill_node_slots(codes, lens, tab_h1, pays, split_len: int,
     M = tab_h1.shape[0]
     key = jnp.concatenate([q1f, tab_h1])
     iota = jax.lax.iota(jnp.int32, Q + M)
-    h2q22 = ((h2q >> jnp.uint32(10)).astype(jnp.int32)
-             & jnp.int32(0x3FFFFF))
+    h2_bits = 31 - node_bits
+    h2_mask = jnp.int32((1 << h2_bits) - 1)
+    node_mask = jnp.int32((1 << node_bits) - 1)
+    h2q_top = (h2q >> jnp.uint32(32 - h2_bits)).astype(jnp.int32)
 
     if fill == "cummin":
         skey, siota = jax.lax.sort((key, iota), num_keys=1,
@@ -680,8 +694,9 @@ def _sortfill_node_slots(codes, lens, tab_h1, pays, split_len: int,
         slots = []
         for p in pays:
             outp = jnp.take(p, ti_q, mode="fill", fill_value=0)
-            m = valid & (outp < 0) & (((outp >> 9) & 0x3FFFFF) == h2q22)
-            slots.append(jnp.where(m, outp & 511, num_nodes))
+            m = (valid & (outp < 0)
+                 & (((outp >> node_bits) & h2_mask) == h2q_top))
+            slots.append(jnp.where(m, outp & node_mask, num_nodes))
         return jnp.stack(slots, axis=2).reshape(B, K * len(pays))
 
     zq = jnp.zeros(Q, jnp.int32)
@@ -708,8 +723,9 @@ def _sortfill_node_slots(codes, lens, tab_h1, pays, split_len: int,
     for fp in fpays:
         outp = jnp.zeros(Q, jnp.int32).at[qpos].set(
             jnp.where(okk, fp, 0), mode="drop").reshape(B, K)
-        m = valid & (outp < 0) & (((outp >> 9) & 0x3FFFFF) == h2q22)
-        slots.append(jnp.where(m, outp & 511, num_nodes))
+        m = (valid & (outp < 0)
+             & (((outp >> node_bits) & h2_mask) == h2q_top))
+        slots.append(jnp.where(m, outp & node_mask, num_nodes))
     return jnp.stack(slots, axis=2).reshape(B, K * len(pays))
 
 
@@ -779,6 +795,17 @@ def _stats_sparse_kernel(q1, h2qi, valid, lo, lens, tab_h1, tab_h2,
     kidx = jax.lax.broadcasted_iota(jnp.int32, (B2, K, depth), 1)
     kidx_v = jnp.where(m, kidx, _INF).reshape(B2, R)
 
+    return _sparse_sat_tail(node_key, kidx_v, lens, seq_lens,
+                            split_len, cap)
+
+
+def _sparse_sat_tail(node_key, kidx_v, lens, seq_lens, split_len: int,
+                     cap: int):
+    """Shared tail of the sparse stats kernels: row-sort matched
+    (node, k-index) slots, segmented scans for per-run (count, min-k),
+    the reference saturation test at run ends, and compaction into the
+    (2B, cap) saturated-node list + overflow flag."""
+    B2, R = node_key.shape
     node_s, kidx_s = jax.lax.sort(
         (node_key, kidx_v), dimension=1, num_keys=1)
 
@@ -812,6 +839,53 @@ def _stats_sparse_kernel(q1, h2qi, valid, lo, lens, tab_h1, tab_h2,
     out = jnp.full((B2, cap), -1, jnp.int32).at[row, tgt].set(
         node_s, mode="drop")
     return out, overflow
+
+
+def _sparse_sortfill_core(codes, lens, tab_h1, seq_lens, pays,
+                          split_len: int, depth: int, cap: int,
+                          num_nodes: int, fill: str, node_bits: int):
+    node_t = _sortfill_node_slots(codes, lens, tab_h1, pays, split_len,
+                                  num_nodes, fill=fill,
+                                  node_bits=node_bits)
+    B2, R = node_t.shape
+    matched = node_t < num_nodes
+    node_key = jnp.where(matched, node_t, _INF)
+    kidx = jax.lax.broadcasted_iota(jnp.int32, (B2, R), 1) // depth
+    kidx_v = jnp.where(matched, kidx, _INF)
+    return _sparse_sat_tail(node_key, kidx_v, lens, seq_lens,
+                            split_len, cap)
+
+
+@partial(jax.jit,
+         static_argnames=("split_len", "depth", "cap", "num_nodes",
+                          "fill", "node_bits"))
+def _stats_sparse_sortfill(fc, fl, rc, rl, tab_h1, seq_lens, pays,
+                           split_len: int, depth: int, cap: int,
+                           num_nodes: int, fill: str, node_bits: int):
+    """Sparse saturated-node lists via the packed-payload probe: the
+    whole per-batch pipeline (stack, hash, sortfill join, row-sort
+    stats, saturation, compaction) in ONE dispatch, with no table
+    gathers on the match path. Same outputs as the classic sparse
+    kernel (node ids come from the payloads, saturation from the shared
+    tail), so the COO accumulation downstream is unchanged."""
+    codes, lens = _stack_ends(fc, fl, rc, rl)
+    return _sparse_sortfill_core(codes, lens, tab_h1, seq_lens, pays,
+                                 split_len, depth, cap, num_nodes, fill,
+                                 node_bits)
+
+
+@partial(jax.jit,
+         static_argnames=("T", "split_len", "depth", "cap", "num_nodes",
+                          "fill", "node_bits"))
+def _stats_sparse_sortfill_wire(wire, tab_h1, seq_lens, pays, T: int,
+                                split_len: int, depth: int, cap: int,
+                                num_nodes: int, fill: str,
+                                node_bits: int):
+    """_stats_sparse_sortfill fed by the compact wire format."""
+    codes, lens = _unpack_wire(wire, T)
+    return _sparse_sortfill_core(codes, lens, tab_h1, seq_lens, pays,
+                                 split_len, depth, cap, num_nodes, fill,
+                                 node_bits)
 
 
 def _sparse_pairs_np(f_nodes: np.ndarray, r_nodes: np.ndarray, N: int):
@@ -996,14 +1070,15 @@ def _stats_from_impl(q1, h2qi, valid, lo, tab_h1, tab_h2, tab_node,
 @partial(jax.jit,
          static_argnames=("split_len", "max_dup", "num_nodes",
                           "stats_impl", "probe", "shift", "probe_depth",
-                          "fill"),
+                          "fill", "node_bits"),
          donate_argnums=(4, 5))
 def _pe_batch_fused(fc, fl, rc, rl, acc_nm, acc_sm, tab_h1, tab_h2,
                     tab_node, seq_lens, bucket_starts,
                     split_len: int, max_dup: int,
                     num_nodes: int, stats_impl: str = "scatter",
                     probe: str = "sort", shift: int = 32,
-                    probe_depth: int = 1, pays=(), fill: str = "cummin"):
+                    probe_depth: int = 1, pays=(), fill: str = "cummin",
+                    node_bits: int = 9):
     """The whole per-batch pipeline — stack ends, hash, sort-merge join,
     duplicate-scan stats, saturation, pair matmuls, accumulate — as ONE
     jitted computation with donated accumulators.
@@ -1020,9 +1095,22 @@ def _pe_batch_fused(fc, fl, rc, rl, acc_nm, acc_sm, tab_h1, tab_h2,
     keeps the HLO graph partitioned where it mattered.
     """
     codes, lens = _stack_ends(fc, fl, rc, rl)
+    return _pe_batch_core(codes, lens, acc_nm, acc_sm, tab_h1, tab_h2,
+                          tab_node, seq_lens, bucket_starts, split_len,
+                          max_dup, num_nodes, stats_impl, probe, shift,
+                          probe_depth, pays, fill, node_bits)
+
+
+def _pe_batch_core(codes, lens, acc_nm, acc_sm, tab_h1, tab_h2,
+                   tab_node, seq_lens, bucket_starts, split_len, max_dup,
+                   num_nodes, stats_impl, probe, shift, probe_depth,
+                   pays, fill, node_bits):
+    """Probe + stats + saturation + pair matmuls on a stacked (2B, T)
+    end-batch (shared by the byte-wire and packed-wire entry points)."""
     if probe == "sortfill":
         node_t = _sortfill_node_slots(codes, lens, tab_h1, pays,
-                                      split_len, num_nodes, fill=fill)
+                                      split_len, num_nodes, fill=fill,
+                                      node_bits=node_bits)
         if stats_impl == "pallas":
             from vstrains_tpu.ops.pallas_kernels import stats_accum_pallas
             cnt, kmin = stats_accum_pallas(node_t, depth=len(pays),
@@ -1041,9 +1129,94 @@ def _pe_batch_fused(fc, fl, rc, rl, acc_nm, acc_sm, tab_h1, tab_h2,
                                      tab_h2, tab_node, max_dup,
                                      num_nodes, stats_impl)
     sat = _saturate(cnt, kmin, lens, seq_lens, split_len)
-    B = fc.shape[0]
+    B = codes.shape[0] // 2
     nm, sm = _pair_matmuls(sat[:B], sat[B:], num_nodes)
     return acc_nm + nm, acc_sm + sm
+
+
+# --------------------------------------------------------------------------
+# compact wire format
+#
+# The relay link between host and TPU neither overlaps H2D transfers with
+# compute nor sustains its nominal bandwidth mid-loop (measured: a 10 MB
+# 4-array batch put costs ~23 ms in isolation but ~87 ms interleaved with
+# dispatches), so read bytes on the wire are the e2e bottleneck once the
+# kernel is fast. This wire format sends 2-bit packed bases + u16 lengths
+# (one uint8 row per pair: fwd codes | rve codes | 4 length bytes) — a
+# ~3.9x reduction at 150 bp. Exactness: windows past a read's length are
+# already invalidated by the length test in _device_window_hashes, so
+# packed padding bits never match; chunks containing a non-ACGT base
+# inside a read (rare IUPAC/lowercase survivors of the N-filter) fall
+# back to the byte path, where BAD_CODE invalidation applies — identical
+# matrices either way.
+# --------------------------------------------------------------------------
+
+def _wire_width(T: int) -> int:
+    return 2 * (-(-T // 4)) + 4
+
+
+def _pack_wire_np(fc, fl, rc, rl, T: int) -> np.ndarray:
+    """Host-side wire packing of one chunk -> uint8 [B, _wire_width(T)]."""
+    B = fc.shape[0]
+    T4 = -(-T // 4)
+    out = np.zeros((B, 2 * T4 + 4), dtype=np.uint8)
+
+    def pack(codes, dst):
+        c = np.where(codes < 4, codes, 0).astype(np.uint8)
+        if c.shape[1] < 4 * T4:
+            c = np.pad(c, ((0, 0), (0, 4 * T4 - c.shape[1])))
+        dst[:] = (c[:, 0::4] | (c[:, 1::4] << 2) | (c[:, 2::4] << 4)
+                  | (c[:, 3::4] << 6))
+
+    pack(fc, out[:, :T4])
+    pack(rc, out[:, T4: 2 * T4])
+    out[:, -4] = fl & 0xFF
+    out[:, -3] = fl >> 8
+    out[:, -2] = rl & 0xFF
+    out[:, -1] = rl >> 8
+    return out
+
+
+def _unpack_wire(wire, T: int):
+    """In-jit inverse of _pack_wire_np -> stacked ((2B, T) codes,
+    (2B,) lens), the _stack_ends contract."""
+    B = wire.shape[0]
+    T4 = -(-T // 4)
+    shifts = jnp.asarray([0, 2, 4, 6], jnp.uint8)
+
+    def unpack(packed):
+        c = (packed[:, :, None] >> shifts[None, None, :]) & jnp.uint8(3)
+        return c.reshape(B, 4 * T4)[:, :T]
+
+    fcod = unpack(wire[:, :T4])
+    rcod = unpack(wire[:, T4: 2 * T4])
+    fl = (wire[:, -4].astype(jnp.int32)
+          | (wire[:, -3].astype(jnp.int32) << 8))
+    rl = (wire[:, -2].astype(jnp.int32)
+          | (wire[:, -1].astype(jnp.int32) << 8))
+    return (jnp.concatenate([fcod, rcod]),
+            jnp.concatenate([fl, rl]))
+
+
+@partial(jax.jit,
+         static_argnames=("T", "split_len", "max_dup", "num_nodes",
+                          "stats_impl", "probe", "shift", "probe_depth",
+                          "fill", "node_bits"),
+         donate_argnums=(1, 2))
+def _pe_batch_fused_wire(wire, acc_nm, acc_sm, tab_h1, tab_h2,
+                         tab_node, seq_lens, bucket_starts, T: int,
+                         split_len: int, max_dup: int,
+                         num_nodes: int, stats_impl: str = "scatter",
+                         probe: str = "sort", shift: int = 32,
+                         probe_depth: int = 1, pays=(),
+                         fill: str = "cummin", node_bits: int = 9):
+    """_pe_batch_fused fed by the compact wire format: unpack on device,
+    then the shared core."""
+    codes, lens = _unpack_wire(wire, T)
+    return _pe_batch_core(codes, lens, acc_nm, acc_sm, tab_h1, tab_h2,
+                          tab_node, seq_lens, bucket_starts, split_len,
+                          max_dup, num_nodes, stats_impl, probe, shift,
+                          probe_depth, pays, fill, node_bits)
 
 
 def _pe_batch_kernel(fwd_codes, fwd_len, rve_codes, rve_len,
@@ -1063,52 +1236,55 @@ def _pe_batch_kernel(fwd_codes, fwd_len, rve_codes, rve_len,
 # driver
 # --------------------------------------------------------------------------
 
-def _prefetch_batches(reads: ReadPairBatch, batch_size: int):
-    """Double-buffered batch feed: a background thread slices, pads, and
-    device_puts the NEXT batch while the main loop dispatches compute on
-    the current one, hiding host prep + h2d transfer behind device time
-    (the stage-overlap/PP axis of SURVEY.md §2; the reference's serial
-    read loop has no analogue)."""
-    import queue
-    import threading
+def _has_bad_in_read(codes: np.ndarray, lens: np.ndarray) -> bool:
+    """True when any non-ACGT code sits INSIDE a read (padding past the
+    length is exempt) — the wire format can't represent it."""
+    cols = np.arange(codes.shape[1], dtype=np.int32)
+    return bool(np.any((codes > 3) & (cols[None, :] < lens[:, None])))
 
-    q: "queue.Queue" = queue.Queue(maxsize=2)
+
+def _wire_batches(reads: ReadPairBatch, batch_size: int,
+                  stage_bytes: int = 1 << 28, force_bytes: bool = False):
+    """Batch feed over the compact wire format (see _pack_wire_np).
+
+    Yields ("wire", dev_u8[B, W]) batches, falling back to
+    ("bytes", (fc, fl, rc, rl)) for any chunk holding an in-read
+    non-ACGT code or reads too long for u16 lengths. Packing runs
+    per-chunk (vectorized numpy); transfers happen per batch so device
+    compute and the relay's serialized H2D interleave at batch grain."""
     B = reads.num_pairs
-
-    def feeder():
-        try:
-            for start in range(0, B, batch_size):
-                end = min(start + batch_size, B)
-                fc = reads.fwd_codes[start:end]
-                rc = reads.rve_codes[start:end]
-                fl = reads.fwd_len[start:end]
-                rl = reads.rve_len[start:end]
-                if end - start < batch_size:
-                    # pad; zero-length reads contribute nothing
-                    pad = batch_size - (end - start)
-                    fc = np.pad(fc, ((0, pad), (0, 0)),
-                                constant_values=255)
-                    rc = np.pad(rc, ((0, pad), (0, 0)),
-                                constant_values=255)
-                    fl = np.pad(fl, (0, pad))
-                    rl = np.pad(rl, (0, pad))
-                q.put((jnp.asarray(fc), jnp.asarray(fl), jnp.asarray(rc),
-                       jnp.asarray(rl)))
-        except Exception as exc:  # surface in the consumer
-            q.put(exc)
-            return
-        q.put(None)
-
-    t = threading.Thread(target=feeder, daemon=True)
-    t.start()
-    while True:
-        item = q.get()
-        if item is None:
-            break
-        if isinstance(item, Exception):
-            raise item
-        yield item
-    t.join()
+    T = max(reads.fwd_codes.shape[1], reads.rve_codes.shape[1])
+    W = _wire_width(T)
+    wire_ok = T < 65536 and not force_bytes
+    rows_cap = max(batch_size, int(stage_bytes) // max(W, 1))
+    chunk_rows = max(batch_size, (rows_cap // batch_size) * batch_size)
+    for cs in range(0, B, chunk_rows):
+        ce = min(cs + chunk_rows, B)
+        n = ce - cs
+        nb = -(-n // batch_size)
+        pad = nb * batch_size - n
+        fc = reads.fwd_codes[cs:ce]
+        rc = reads.rve_codes[cs:ce]
+        fl = reads.fwd_len[cs:ce]
+        rl = reads.rve_len[cs:ce]
+        if pad:
+            # zero-length padding reads contribute nothing
+            fc = np.pad(fc, ((0, pad), (0, 0)), constant_values=255)
+            rc = np.pad(rc, ((0, pad), (0, 0)), constant_values=255)
+            fl = np.pad(fl, (0, pad))
+            rl = np.pad(rl, (0, pad))
+        if wire_ok and not (_has_bad_in_read(fc, fl)
+                            or _has_bad_in_read(rc, rl)):
+            wire = _pack_wire_np(fc, fl, rc, rl, T)
+            for i in range(nb):
+                s = i * batch_size
+                yield ("wire", jnp.asarray(wire[s:s + batch_size]))
+            continue
+        for i in range(nb):
+            s = i * batch_size
+            e = s + batch_size
+            yield ("bytes", (jnp.asarray(fc[s:e]), jnp.asarray(fl[s:e]),
+                             jnp.asarray(rc[s:e]), jnp.asarray(rl[s:e])))
 
 
 def _length_buckets(reads: ReadPairBatch, split_len: int,
@@ -1296,7 +1472,11 @@ def infer_pe_links(ids: Sequence[str], seqs: Sequence[str],
             # when the graph fits its packing; the choice is a function
             # of the table alone so CPU and TPU runs stay bit-identical.
             # "sortjoin" forces the classic join (cross-check path).
-            if (probe == "sort" and N <= _SORTFILL_MAX_NODES
+            # Dense-path gate stays at 9-bit node ids: its slot stats go
+            # through the one-hot accumulator, whose (2B, K*D, N) compare
+            # is only economical at small N (larger graphs reach sortfill
+            # through the sparse path, whose stats are N-independent).
+            if (probe == "sort" and _sortfill_node_bits(N) == 9
                     and table.max_dup <= _SORTFILL_MAX_DUP):
                 probe = "sortfill"
             elif probe == "sortjoin":
@@ -1335,15 +1515,38 @@ def infer_pe_links(ids: Sequence[str], seqs: Sequence[str],
                 reads.fwd_len[ix],
                 np.ascontiguousarray(reads.rve_codes[ix, :wd]),
                 reads.rve_len[ix], 0, 0, len(ix)) for wd, ix in buckets]
-        import itertools
-        feed = itertools.chain.from_iterable(
-            _prefetch_batches(p, batch_size) for p in parts)
-        for args in feed:
-            if fused:
-                acc_nm, acc_sm = _pe_batch_fused(
-                    *args, acc_nm, acc_sm, *tab, bstarts,
-                    split_len=split_len, max_dup=table.max_dup,
-                    num_nodes=N, **probe_kw)
+        for p in parts:
+            Tp = max(p.fwd_codes.shape[1], p.rve_codes.shape[1])
+            for kind, payload in _wire_batches(p, batch_size,
+                                               force_bytes=not fused):
+                if fused:
+                    if kind == "wire":
+                        acc_nm, acc_sm = _pe_batch_fused_wire(
+                            payload, acc_nm, acc_sm, *tab, bstarts,
+                            T=Tp, split_len=split_len,
+                            max_dup=table.max_dup, num_nodes=N,
+                            **probe_kw)
+                    else:
+                        acc_nm, acc_sm = _pe_batch_fused(
+                            *payload, acc_nm, acc_sm, *tab, bstarts,
+                            split_len=split_len, max_dup=table.max_dup,
+                            num_nodes=N, **probe_kw)
+                    since_spill += 1
+                    if since_spill >= spill_every:
+                        node_mat += np.asarray(acc_nm, dtype=np.int64)
+                        short_mat += np.asarray(acc_sm, dtype=np.int64)
+                        acc_nm = jnp.zeros((N, N), jnp.int32)
+                        acc_sm = jnp.zeros((N, N), jnp.int32)
+                        since_spill = 0
+                    continue
+                args = payload
+                if probe_mode == "searchsorted":
+                    nm, sm = kern(*args, *tab)
+                else:
+                    nm, sm = _pe_batch_sorted(*args, tab, split_len,
+                                              table.max_dup, N,
+                                              lookup=lookup)
+                acc_nm, acc_sm = _accumulate(acc_nm, acc_sm, nm, sm)
                 since_spill += 1
                 if since_spill >= spill_every:
                     node_mat += np.asarray(acc_nm, dtype=np.int64)
@@ -1351,20 +1554,6 @@ def infer_pe_links(ids: Sequence[str], seqs: Sequence[str],
                     acc_nm = jnp.zeros((N, N), jnp.int32)
                     acc_sm = jnp.zeros((N, N), jnp.int32)
                     since_spill = 0
-                continue
-            if probe_mode == "searchsorted":
-                nm, sm = kern(*args, *tab)
-            else:
-                nm, sm = _pe_batch_sorted(*args, tab, split_len,
-                                          table.max_dup, N, lookup=lookup)
-            acc_nm, acc_sm = _accumulate(acc_nm, acc_sm, nm, sm)
-            since_spill += 1
-            if since_spill >= spill_every:
-                node_mat += np.asarray(acc_nm, dtype=np.int64)
-                short_mat += np.asarray(acc_sm, dtype=np.int64)
-                acc_nm = jnp.zeros((N, N), jnp.int32)
-                acc_sm = jnp.zeros((N, N), jnp.int32)
-                since_spill = 0
         node_mat += np.asarray(acc_nm, dtype=np.int64)
         short_mat += np.asarray(acc_sm, dtype=np.int64)
 
@@ -1389,6 +1578,20 @@ def _infer_pe_links_sparse(ids, table: KmerTable, reads: ReadPairBatch,
         lookup = (jnp.asarray(table.bucket_starts), table.bucket_shift,
                   table.scan_depth)
     depth = table.max_dup
+    # same table-only auto-upgrade rule as the dense driver: the packed-
+    # payload probe replaces the three [2B, K, depth] table gathers with
+    # a (key, iota) sort + two cummins + depth payload gathers
+    node_bits = _sortfill_node_bits(N)
+    sortfill = (probe_mode == "sort" and node_bits is not None
+                and depth <= _SORTFILL_MAX_DUP)
+    pays = None
+    if sortfill:
+        import os as _os
+        fill = _os.environ.get("VSTRAINS_SORTFILL_FILL", "cummin")
+        pays = tuple(jnp.asarray(p) for p in
+                     _build_sortfill_payloads(table, node_bits))
+        logger.info("sparse probe: sortfill (node_bits=%d, h2 check %d "
+                    "bits)", node_bits, 31 - node_bits)
 
     # clamp by the sparse path's own footprint: ~8 live (2B, K*depth)
     # int32 planes through sort + scans
@@ -1411,7 +1614,30 @@ def _infer_pe_links_sparse(ids, table: KmerTable, reads: ReadPairBatch,
 
     pe_k, pe_c, st_k, st_c = [], [], [], []
     ovfs = []
-    for fc, fl, rc, rl in _prefetch_batches(reads, batch_size):
+    Tr = max(reads.fwd_codes.shape[1], reads.rve_codes.shape[1])
+    for kind, payload in _wire_batches(reads, batch_size,
+                                       force_bytes=not sortfill):
+        if sortfill:
+            if kind == "wire":
+                sat_nodes, ovf = _stats_sparse_sortfill_wire(
+                    payload, tab_h1, seq_lens, pays, T=Tr,
+                    split_len=split_len, depth=len(pays), cap=cap,
+                    num_nodes=N, fill=fill, node_bits=node_bits)
+            else:
+                sat_nodes, ovf = _stats_sparse_sortfill(
+                    *payload, tab_h1, seq_lens, pays,
+                    split_len=split_len, depth=len(pays), cap=cap,
+                    num_nodes=N, fill=fill, node_bits=node_bits)
+            ovfs.append(ovf)
+            sn = np.asarray(sat_nodes)
+            b = sn.shape[0] // 2
+            pe, st = _sparse_pairs_np(sn[:b], sn[b:], N)
+            for arr, kl, cl in ((pe, pe_k, pe_c), (st, st_k, st_c)):
+                u, c = np.unique(arr, return_counts=True)
+                kl.append(u)
+                cl.append(c)
+            continue
+        fc, fl, rc, rl = payload
         codes, lens = _stack_ends(fc, fl, rc, rl)
         if lookup is not None:
             bstarts, shift, probe_depth = lookup
