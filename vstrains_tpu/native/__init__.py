@@ -59,6 +59,17 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int64, ctypes.c_int64]
         lib.fq_close.restype = None
         lib.fq_close.argtypes = [ctypes.c_void_p]
+        try:  # absent in pre-wire builds of the .so
+            lib.wire_pack.restype = ctypes.c_int64
+            lib.wire_pack.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8)]
+        except AttributeError:
+            pass
         _LIB = lib
     except Exception as e:
         _LOG.debug("native lib unavailable: %s", e)
@@ -106,3 +117,32 @@ def load_read_pairs_native(fwd_path: str, rve_path: str, split_len: int,
                              int(lib.fq_short_reads(h)), int(n))
     finally:
         lib.fq_close(h)
+
+def wire_pack_native(fc, fl, rc, rl, T: int):
+    """C++ fast path of ops.pe_infer._pack_wire_np with the in-read
+    bad-code check fused in. Returns the packed uint8 [B, W] array, or
+    None when the batch holds a non-ACGT code inside a read (caller
+    must fall back to the byte feed) or the library is unavailable.
+
+    Distinguish the two None cases with get_lib() when it matters.
+    """
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "wire_pack"):
+        return None
+    B = fc.shape[0]
+    T4 = -(-T // 4)
+    out = np.empty((B, 2 * T4 + 4), dtype=np.uint8)
+    fc = np.ascontiguousarray(fc)
+    rc = np.ascontiguousarray(rc)
+    fl = np.ascontiguousarray(fl, dtype=np.int32)
+    rl = np.ascontiguousarray(rl, dtype=np.int32)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    rc_ok = lib.wire_pack(
+        fc.ctypes.data_as(u8p), fl.ctypes.data_as(i32p),
+        rc.ctypes.data_as(u8p), rl.ctypes.data_as(i32p),
+        B, fc.shape[1], rc.shape[1], T,
+        out.ctypes.data_as(u8p))
+    return out if rc_ok == 0 else None

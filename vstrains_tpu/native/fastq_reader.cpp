@@ -176,4 +176,57 @@ void fq_fill(void *h, uint8_t *fwd_codes, int32_t *fwd_len,
 
 void fq_close(void *h) { delete (PairFile *)h; }
 
+// Pack one batch of read pairs into the engine's 2-bit wire format
+// (see ops/pe_infer._pack_wire_np for the layout contract: per row,
+// ceil(T/4) bytes of forward codes, same of reverse codes, then
+// fl/rl as little-endian u16). Fuses the in-read bad-code check into
+// the packing pass: returns 0 when the batch is representable, -1 when
+// any code > 3 sits inside a read (caller must use the byte path).
+// Codes past a read's length pack as 0 — such windows are invalidated
+// by the device-side length test, so their bits never match.
+static int pack_one_end(const uint8_t *src, int64_t len, int64_t T4,
+                        uint8_t *dst) {
+    int bad = 0;
+    int64_t full = len / 4;  // blocks wholly inside the read
+    for (int64_t b = 0; b < full; b++) {
+        const uint8_t *s = src + 4 * b;
+        uint8_t c0 = s[0], c1 = s[1], c2 = s[2], c3 = s[3];
+        bad |= (c0 | c1 | c2 | c3) > 3;
+        dst[b] = (uint8_t)((c0 & 3) | ((c1 & 3) << 2) | ((c2 & 3) << 4)
+                           | ((c3 & 3) << 6));
+    }
+    for (int64_t b = full; b < T4; b++) {
+        uint8_t v = 0;
+        for (int64_t q = 0; q < 4; q++) {
+            int64_t x = 4 * b + q;
+            if (x < len) {
+                uint8_t c = src[x];
+                if (c > 3) { bad = 1; c = 0; }
+                v |= (uint8_t)((c & 3) << (2 * q));
+            }
+        }
+        dst[b] = v;
+    }
+    return bad;
+}
+
+int64_t wire_pack(const uint8_t *fc, const int32_t *fl,
+                  const uint8_t *rc, const int32_t *rl, int64_t B,
+                  int64_t tf, int64_t tr, int64_t T, uint8_t *out) {
+    int64_t T4 = (T + 3) / 4;
+    int64_t W = 2 * T4 + 4;
+    int any_bad = 0;
+#pragma omp parallel for schedule(static) reduction(|:any_bad)
+    for (int64_t j = 0; j < B; j++) {
+        uint8_t *row = out + j * W;
+        any_bad |= pack_one_end(fc + j * tf, fl[j], T4, row);
+        any_bad |= pack_one_end(rc + j * tr, rl[j], T4, row + T4);
+        row[W - 4] = (uint8_t)(fl[j] & 0xFF);
+        row[W - 3] = (uint8_t)((fl[j] >> 8) & 0xFF);
+        row[W - 2] = (uint8_t)(rl[j] & 0xFF);
+        row[W - 1] = (uint8_t)((rl[j] >> 8) & 0xFF);
+    }
+    return any_bad ? -1 : 0;
+}
+
 }  // extern "C"
