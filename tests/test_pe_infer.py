@@ -367,6 +367,36 @@ def test_sortfill_probe_matches_classic_at_depth():
     np.testing.assert_array_equal(a.short_mat, b.short_mat)
 
 
+def test_dense_sortfill_mid_n_deep_dup_matches_oracle():
+    """The mid-N dense path (512 < N <= 4096 with max_dup in 7..16 —
+    the realistic-bench shape that used to fall back to classic join +
+    scatter stats) rides sortfill with wide node ids and matches both
+    the reference-loop oracle and the classic cross-check probe."""
+    import vstrains_tpu.ops.pe_infer as P
+    rng = np.random.RandomState(17)
+    k = 11
+    motif = _random_refs(rng, 1, [30])[0]
+    # 9 nodes share a motif (max_dup ~ 9); the rest are unique
+    refs = ([motif + _random_refs(rng, 1, [40])[0] for _ in range(9)]
+            + _random_refs(rng, 531, [60] * 531))
+    n = len(refs)
+    table = build_kmer_table(refs, k + 1)
+    assert 6 < table.max_dup <= 16
+    assert P._sortfill_node_bits(n) == 10
+    fwd, rve = _sample_reads(rng, refs, 80, 30, k)
+    batch = _make_batch(fwd, rve, k + 1)
+    ids = [str(i) for i in range(n)]
+    a = infer_pe_links(ids, refs, batch, k, batch_size=64,
+                       stats_mode="dense")    # sortfill, wide node ids
+    b = infer_pe_links(ids, refs, batch, k, batch_size=64,
+                       stats_mode="dense", probe_mode="sortjoin")
+    np.testing.assert_array_equal(a.node_mat, b.node_mat)
+    np.testing.assert_array_equal(a.short_mat, b.short_mat)
+    nm, sm, *_ = oracle_pe_matrices(refs, fwd, rve, k)
+    np.testing.assert_array_equal(a.node_mat, nm)
+    np.testing.assert_array_equal(a.short_mat, sm)
+
+
 def test_length_buckets_plan():
     from vstrains_tpu.ops.pe_infer import _length_buckets
     rng = np.random.RandomState(5)
@@ -420,8 +450,7 @@ def test_sortfill_fill_impls_agree():
     batch = _make_batch(fwd, rve, k + 1)
     table = build_kmer_table(refs, k + 1)
     assert table.max_dup > 1
-    pays = tuple(jnp.asarray(p)
-                 for p in P._build_sortfill_payloads(table))
+    pays = jnp.asarray(P._build_sortfill_payloads(table))
     codes, lens = P._stack_ends(
         jnp.asarray(batch.fwd_codes), jnp.asarray(batch.fwd_len),
         jnp.asarray(batch.rve_codes), jnp.asarray(batch.rve_len))

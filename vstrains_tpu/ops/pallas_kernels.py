@@ -105,28 +105,38 @@ def window_hashes_pallas(codes, lens, split_len: int, block: int = 128,
     )(codes, lens2)
 
 
-def _stats_accum_kernel(node_ref, cnt_ref, kmin_ref, *, C: int,
+def _stats_accum_kernel(node_ref, cnt_ref, kmin_ref, *, CW: int,
                         depth: int, Np: int, inf: int):
+    c = pl.program_id(1)
     nodes = node_ref[:]
-    B = nodes.shape[0]
     ns = jax.lax.broadcasted_iota(jnp.int32, (1, Np), 1)
-    cnt = jnp.zeros((B, Np), jnp.int32)
-    kmin = jnp.full((B, Np), inf, jnp.int32)
-    for j in range(C):
-        oh = nodes[:, j: j + 1] == ns
+
+    @pl.when(c == 0)
+    def _():
+        cnt_ref[:] = jnp.zeros_like(cnt_ref)
+        kmin_ref[:] = jnp.full_like(kmin_ref, inf)
+
+    cnt = cnt_ref[:]
+    kmin = kmin_ref[:]
+    base = c * CW
+    for jj in range(CW):
+        oh = nodes[:, jj: jj + 1] == ns
         cnt = cnt + oh.astype(jnp.int32)
-        kmin = jnp.minimum(kmin, jnp.where(oh, j // depth, inf))
+        kmin = jnp.minimum(kmin, jnp.where(oh, (base + jj) // depth, inf))
     cnt_ref[:] = cnt
     kmin_ref[:] = kmin
 
 
-_STATS_PALLAS_MAX_COLS = 512
+_STATS_PALLAS_MAX_NODES = 4096
+_STATS_PALLAS_COL_CHUNK = 128
 
 
 def stats_accum_pallas_fits(C: int, num_nodes: int) -> bool:
-    """The unrolled column loop caps compile size at 512 slots; the
-    accumulators cap N at the one-hot cutoff's scale."""
-    return C <= _STATS_PALLAS_MAX_COLS and num_nodes <= 1024
+    """Any slot count fits (the kernel sweeps C in 128-column grid
+    steps); N caps where the per-block (cnt, kmin) accumulators and the
+    O(R*C*N) compare volume stop being the economical stats path — the
+    sparse row-sort path takes over beyond it."""
+    return num_nodes <= _STATS_PALLAS_MAX_NODES
 
 
 @partial(jax.jit, static_argnames=("depth", "num_nodes", "block",
@@ -143,15 +153,32 @@ def stats_accum_pallas(node_t, depth: int, num_nodes: int,
     ops.pe_infer._dup_scan_stats_onehot_impl into VMEM: the XLA version
     materializes (R, C, N)-shaped intermediates in HBM per reduction;
     here the whole compare/accumulate loop stays on-chip per row block.
-    """
+    The grid is (row blocks, column chunks) with columns innermost: the
+    accumulators for a row block stay resident in VMEM across the C
+    sweep (the canonical Pallas revisiting-output pattern), so slot
+    count is unbounded and compile size is fixed at one 128-column
+    unroll."""
     R, C = node_t.shape
     Np = -(-(num_nodes + 1) // 128) * 128
     inf = 2**31 - 1
+    CW = min(_STATS_PALLAS_COL_CHUNK, C)
+    Cp = -(-C // CW) * CW
+    if Cp != C:
+        # sentinel-padded slots never match a real node column
+        node_t = jnp.pad(node_t, ((0, 0), (0, Cp - C)),
+                         constant_values=num_nodes)
     blk = min(block, R)
     while R % blk:
         blk //= 2
-    grid = (R // blk,)
-    kernel = partial(_stats_accum_kernel, C=C, depth=depth, Np=Np, inf=inf)
+    # Mosaic's scoped-vmem stack for the unrolled compare loop measures
+    # ~17 live (blk, Np) int32 buffers (observed 17.77M at blk=256,
+    # Np=1024 on v5e against a 16M limit); keep the model's estimate
+    # under 14M so the accumulators + temporaries always fit.
+    while blk > 8 and 68 * blk * Np > 14 * 1024 * 1024:
+        blk //= 2
+    grid = (R // blk, Cp // CW)
+    kernel = partial(_stats_accum_kernel, CW=CW, depth=depth, Np=Np,
+                     inf=inf)
     cnt, kmin = pl.pallas_call(
         kernel,
         grid=grid,
@@ -160,13 +187,13 @@ def stats_accum_pallas(node_t, depth: int, num_nodes: int,
             jax.ShapeDtypeStruct((R, Np), jnp.int32),
         ),
         in_specs=[
-            pl.BlockSpec((blk, C), lambda i: (i, 0),
+            pl.BlockSpec((blk, CW), lambda i, c: (i, c),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((blk, Np), lambda i: (i, 0),
+            pl.BlockSpec((blk, Np), lambda i, c: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((blk, Np), lambda i: (i, 0),
+            pl.BlockSpec((blk, Np), lambda i, c: (i, 0),
                          memory_space=pltpu.VMEM),
         ),
         interpret=interpret,

@@ -536,10 +536,14 @@ def _stats_impl_choice(num_nodes: int, n_windows: int,
               else jax.default_backend() == "tpu")
     if not on_tpu:
         return "scatter"
-    if num_nodes <= _ONEHOT_STATS_MAX_NODES:
+    if (num_nodes <= _ONEHOT_STATS_MAX_NODES
+            and n_windows * max_dup <= 640):
         # measured inside the fused batch kernel on v5e: onehot 92,
         # pallas 113, scatter 147 ms/batch — XLA fuses the one-hot with
-        # its gather producers; the Pallas call is an opaque boundary
+        # its gather producers; the Pallas call is an opaque boundary.
+        # Beyond the compare-volume envelope (C*N) the VMEM-resident
+        # Pallas accumulator wins decisively: at N=992, C=1050 the XLA
+        # alternatives are 1.5 s/batch (scatter serializes) vs ~100 ms.
         return "onehot"
     from vstrains_tpu.ops.pallas_kernels import stats_accum_pallas_fits
     if stats_accum_pallas_fits(n_windows * max_dup, num_nodes):
@@ -603,7 +607,7 @@ def _pair_matmuls_jit(f, r, num_nodes: int):
 # --------------------------------------------------------------------------
 
 _SORTFILL_MAX_NODE_BITS = 18
-_SORTFILL_MAX_DUP = 6
+_SORTFILL_MAX_DUP = 16
 
 
 def _sortfill_node_bits(num_nodes: int):
@@ -615,11 +619,15 @@ def _sortfill_node_bits(num_nodes: int):
 
 
 def _build_sortfill_payloads(table: "KmerTable", node_bits: int = 9):
-    """Host-built per-duplicate-rank payload arrays (int32 [M] each).
+    """Host-built payload matrix, int32 [M, D], D = min(max_dup, cap).
 
-    pays[d][i] packs (tag, h2 top bits, node) of table entry i+d when
+    pays[i, d] packs (tag, h2 top bits, node) of table entry i+d when
     entries i..i+d share one h1 (they are consecutive in the hash-sorted
-    table), else 0 (no tag bit -> never matches)."""
+    table), else 0 (no tag bit -> never matches). One matrix instead of
+    D separate arrays so the cummin fill fetches all ranks of an entry
+    with a single row gather (contiguous D-element rows amortize the
+    random-access latency that made per-rank gathers the sparse path's
+    floor)."""
     h1 = table.h1_biased
     h2u = table.h2.view(np.uint32)
     node = table.node.astype(np.uint32)
@@ -627,7 +635,7 @@ def _build_sortfill_payloads(table: "KmerTable", node_bits: int = 9):
     D = min(table.max_dup, _SORTFILL_MAX_DUP)
     h2_bits = 31 - node_bits
     h2_shift = np.uint32(32 - h2_bits)
-    pays = []
+    pays = np.zeros((M, D), dtype=np.uint32)
     for d in range(D):
         same = np.zeros(M, dtype=bool)
         h2p = np.zeros(M, dtype=np.uint32)
@@ -640,11 +648,10 @@ def _build_sortfill_payloads(table: "KmerTable", node_bits: int = 9):
             same[: M - d] = h1[d:] == h1[:-d]
             h2p[: M - d] = h2u[d:] >> h2_shift
             nd[: M - d] = node[d:]
-        pay = np.where(same,
-                       np.uint32(1 << 31) | (h2p << node_bits) | nd,
-                       np.uint32(0))
-        pays.append(pay.view(np.int32))
-    return tuple(pays)
+        pays[:, d] = np.where(same,
+                              np.uint32(1 << 31) | (h2p << node_bits) | nd,
+                              np.uint32(0))
+    return pays.view(np.int32)
 
 
 def _sortfill_node_slots(codes, lens, tab_h1, pays, split_len: int,
@@ -680,6 +687,7 @@ def _sortfill_node_slots(codes, lens, tab_h1, pays, split_len: int,
     node_mask = jnp.int32((1 << node_bits) - 1)
     h2q_top = (h2q >> jnp.uint32(32 - h2_bits)).astype(jnp.int32)
 
+    D = pays.shape[1]
     if fill == "cummin":
         skey, siota = jax.lax.sort((key, iota), num_keys=1,
                                    is_stable=True)
@@ -691,16 +699,17 @@ def _sortfill_node_slots(codes, lens, tab_h1, pays, split_len: int,
         qpos = jnp.where(siota < Q, siota, Q)
         ti_q = jnp.full(Q, M, jnp.int32).at[qpos].set(
             jnp.where(okk, ti, M), mode="drop").reshape(B, K)
-        slots = []
-        for p in pays:
-            outp = jnp.take(p, ti_q, mode="fill", fill_value=0)
-            m = (valid & (outp < 0)
-                 & (((outp >> node_bits) & h2_mask) == h2q_top))
-            slots.append(jnp.where(m, outp & node_mask, num_nodes))
-        return jnp.stack(slots, axis=2).reshape(B, K * len(pays))
+        # all D duplicate ranks of an entry in one contiguous row gather
+        outp = jnp.take(pays, ti_q, axis=0, mode="fill",
+                        fill_value=0)                      # (B, K, D)
+        m = (valid[:, :, None] & (outp < 0)
+             & (((outp >> node_bits) & h2_mask) == h2q_top[:, :, None]))
+        return jnp.where(m, outp & node_mask,
+                         num_nodes).reshape(B, K * D)
 
     zq = jnp.zeros(Q, jnp.int32)
-    ops = (key, iota) + tuple(jnp.concatenate([zq, p]) for p in pays)
+    ops = (key, iota) + tuple(jnp.concatenate([zq, pays[:, d]])
+                              for d in range(D))
     skey, siota, *spays = jax.lax.sort(ops, num_keys=1, is_stable=True)
     is_tab = (siota >= Q).astype(jnp.int32)
 
@@ -726,7 +735,7 @@ def _sortfill_node_slots(codes, lens, tab_h1, pays, split_len: int,
         m = (valid & (outp < 0)
              & (((outp >> node_bits) & h2_mask) == h2q_top))
         slots.append(jnp.where(m, outp & node_mask, num_nodes))
-    return jnp.stack(slots, axis=2).reshape(B, K * len(pays))
+    return jnp.stack(slots, axis=2).reshape(B, K * D)
 
 
 def _slots_onehot_accum(node_t, depth: int, num_nodes: int):
@@ -739,6 +748,23 @@ def _slots_onehot_accum(node_t, depth: int, num_nodes: int):
     kidx = jax.lax.broadcasted_iota(jnp.int32, (1, C, 1), 1) // depth
     kmin = jnp.where(oh, kidx, _INF).min(axis=1)
     return cnt, kmin
+
+
+def _slots_scatter_accum(node_t, depth: int, num_nodes: int):
+    """(count, min-kindex) from per-slot node ids via scatter — the CPU
+    backend's slot accumulator (plain memory writes beat the one-hot's
+    B*C*N compares there; on TPU scatters serialize, use the others).
+    Miss slots carry the sentinel num_nodes and land in a dropped
+    column."""
+    B, C = node_t.shape
+    rows = jax.lax.broadcasted_iota(jnp.int32, (B, C), 0)
+    kidx = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1) // depth
+    kidx = jnp.broadcast_to(kidx, (B, C))
+    cnt = jnp.zeros((B, num_nodes + 1), jnp.int32).at[rows, node_t].add(
+        1, mode="drop")
+    kmin = jnp.full((B, num_nodes + 1), _INF, jnp.int32).at[
+        rows, node_t].min(kidx, mode="drop")
+    return cnt[:, :num_nodes], kmin[:, :num_nodes]
 
 
 # --------------------------------------------------------------------------
@@ -1111,12 +1137,15 @@ def _pe_batch_core(codes, lens, acc_nm, acc_sm, tab_h1, tab_h2,
         node_t = _sortfill_node_slots(codes, lens, tab_h1, pays,
                                       split_len, num_nodes, fill=fill,
                                       node_bits=node_bits)
+        depth = pays.shape[1]
         if stats_impl == "pallas":
             from vstrains_tpu.ops.pallas_kernels import stats_accum_pallas
-            cnt, kmin = stats_accum_pallas(node_t, depth=len(pays),
+            cnt, kmin = stats_accum_pallas(node_t, depth=depth,
                                            num_nodes=num_nodes)
+        elif stats_impl == "scatter":
+            cnt, kmin = _slots_scatter_accum(node_t, depth, num_nodes)
         else:
-            cnt, kmin = _slots_onehot_accum(node_t, len(pays), num_nodes)
+            cnt, kmin = _slots_onehot_accum(node_t, depth, num_nodes)
     else:
         if probe == "lookup":
             q1, h2qi, valid, lo = _hash_lookup_impl(
@@ -1476,20 +1505,20 @@ def infer_pe_links(ids: Sequence[str], seqs: Sequence[str],
             # when the graph fits its packing; the choice is a function
             # of the table alone so CPU and TPU runs stay bit-identical.
             # "sortjoin" forces the classic join (cross-check path).
-            # Dense-path gate stays at 9-bit node ids: its slot stats go
-            # through the one-hot accumulator, whose (2B, K*D, N) compare
-            # is only economical at small N (larger graphs reach sortfill
-            # through the sparse path, whose stats are N-independent).
-            if (probe == "sort" and _sortfill_node_bits(N) == 9
+            # Node ids pack adaptively up to 18 bits; slot stats go to
+            # the one-hot accumulator at small N*C, the VMEM-resident
+            # Pallas accumulator up to N=4096 on TPU, scatter on CPU.
+            node_bits = _sortfill_node_bits(N)
+            if (probe == "sort" and node_bits is not None
                     and table.max_dup <= _SORTFILL_MAX_DUP):
                 probe = "sortfill"
             elif probe == "sortjoin":
                 probe = "sort"
             probe_kw = dict(stats_impl=stats_impl, probe=probe)
             if probe == "sortfill":
-                probe_kw["pays"] = tuple(
-                    jnp.asarray(p)
-                    for p in _build_sortfill_payloads(table))
+                probe_kw["pays"] = jnp.asarray(
+                    _build_sortfill_payloads(table, node_bits))
+                probe_kw["node_bits"] = node_bits
                 probe_kw["fill"] = _os.environ.get(
                     "VSTRAINS_SORTFILL_FILL", "cummin")
             elif probe == "lookup":
@@ -1584,7 +1613,7 @@ def _infer_pe_links_sparse(ids, table: KmerTable, reads: ReadPairBatch,
     depth = table.max_dup
     # same table-only auto-upgrade rule as the dense driver: the packed-
     # payload probe replaces the three [2B, K, depth] table gathers with
-    # a (key, iota) sort + two cummins + depth payload gathers
+    # a (key, iota) sort + two cummins + one contiguous payload-row gather
     node_bits = _sortfill_node_bits(N)
     sortfill = (probe_mode == "sort" and node_bits is not None
                 and depth <= _SORTFILL_MAX_DUP)
@@ -1592,8 +1621,7 @@ def _infer_pe_links_sparse(ids, table: KmerTable, reads: ReadPairBatch,
     if sortfill:
         import os as _os
         fill = _os.environ.get("VSTRAINS_SORTFILL_FILL", "cummin")
-        pays = tuple(jnp.asarray(p) for p in
-                     _build_sortfill_payloads(table, node_bits))
+        pays = jnp.asarray(_build_sortfill_payloads(table, node_bits))
         logger.info("sparse probe: sortfill (node_bits=%d, h2 check %d "
                     "bits)", node_bits, 31 - node_bits)
 
@@ -1625,13 +1653,15 @@ def _infer_pe_links_sparse(ids, table: KmerTable, reads: ReadPairBatch,
             if kind == "wire":
                 sat_nodes, ovf = _stats_sparse_sortfill_wire(
                     payload, tab_h1, seq_lens, pays, T=Tr,
-                    split_len=split_len, depth=len(pays), cap=cap,
-                    num_nodes=N, fill=fill, node_bits=node_bits)
+                    split_len=split_len, depth=int(pays.shape[1]),
+                    cap=cap, num_nodes=N, fill=fill,
+                    node_bits=node_bits)
             else:
                 sat_nodes, ovf = _stats_sparse_sortfill(
                     *payload, tab_h1, seq_lens, pays,
-                    split_len=split_len, depth=len(pays), cap=cap,
-                    num_nodes=N, fill=fill, node_bits=node_bits)
+                    split_len=split_len, depth=int(pays.shape[1]),
+                    cap=cap, num_nodes=N, fill=fill,
+                    node_bits=node_bits)
             ovfs.append(ovf)
             sn = np.asarray(sat_nodes)
             b = sn.shape[0] // 2
