@@ -397,6 +397,27 @@ def test_dense_sortfill_mid_n_deep_dup_matches_oracle():
     np.testing.assert_array_equal(a.short_mat, sm)
 
 
+def test_stats_pallas_wide_grid_interpret():
+    """The column-chunked grid (C > one 128-column chunk, with sentinel
+    padding) and wide-N accumulators (N > 1024) match the scatter
+    accumulator in interpret mode."""
+    import jax.numpy as jnp
+
+    from vstrains_tpu.ops import pe_infer as P
+    from vstrains_tpu.ops.pallas_kernels import stats_accum_pallas
+
+    rng = np.random.RandomState(3)
+    R, C, N, depth = 64, 300, 1500, 4
+    nt = rng.randint(0, N + 1, size=(R, C)).astype(np.int32)
+    nt[rng.rand(R, C) < 0.6] = N  # misses carry the sentinel
+    node_t = jnp.asarray(nt)
+    cnt, kmin = stats_accum_pallas(node_t, depth=depth, num_nodes=N,
+                                   interpret=True)
+    cnt_ref, kmin_ref = P._slots_scatter_accum(node_t, depth, N)
+    np.testing.assert_array_equal(np.asarray(cnt), np.asarray(cnt_ref))
+    np.testing.assert_array_equal(np.asarray(kmin), np.asarray(kmin_ref))
+
+
 def test_length_buckets_plan():
     from vstrains_tpu.ops.pe_infer import _length_buckets
     rng = np.random.RandomState(5)

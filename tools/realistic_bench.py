@@ -29,6 +29,10 @@ import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.expanduser("~/.cache/vstrains_tpu_jax"))
+# the warmup slice is small enough to trip the engine's tiny-workload
+# CPU fallback, which would leave the accelerator compile inside the
+# timed run — force the requested backend for the whole benchmark
+os.environ.setdefault("VSTRAINS_FORCE_BACKEND", "bench")
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 

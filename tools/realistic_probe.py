@@ -39,22 +39,32 @@ def main():
     components = int(os.environ.get("PROBE_COMPONENTS", 32))
     print(f"# backend: {jax.default_backend()}", file=sys.stderr)
 
-    from tools.realistic_bench import build_dataset
     from vstrains_tpu.core.fastq import load_read_pairs
     from vstrains_tpu.ops import pe_infer as P
 
-    base = tempfile.mkdtemp(prefix="rprobe_")
     pairs = n_batches * batch_size + 2048
-    gfa, fwd, rve, n_nodes = build_dataset(base, components, pairs)
-    index2seq = []
-    with open(gfa) as fh:
-        for line in fh:
-            f = line.rstrip("\n").split("\t")
-            if f and f[0] == "S":
-                index2seq.append(f[2])
     k = 55
     split_len = k + 1
-    reads = load_read_pairs(fwd, rve, split_len, pad_to_multiple=32)
+    if os.environ.get("PROBE_DATASET") == "bench":
+        # the headline bench.py shape: N=100 random 800bp nodes
+        from bench import synth_workload
+        from vstrains_tpu.core.fastq import ReadPairBatch, _pack
+        index2seq, fwd_s, rve_s, k = synth_workload(n_pairs=pairs)
+        split_len = k + 1
+        fc, fl = _pack([s.encode() for s in fwd_s])
+        rc, rl = _pack([s.encode() for s in rve_s])
+        reads = ReadPairBatch(fc, fl, rc, rl, 0, 0, len(fwd_s))
+    else:
+        from tools.realistic_bench import build_dataset
+        base = tempfile.mkdtemp(prefix="rprobe_")
+        gfa, fwd, rve, n_nodes = build_dataset(base, components, pairs)
+        index2seq = []
+        with open(gfa) as fh:
+            for line in fh:
+                f = line.rstrip("\n").split("\t")
+                if f and f[0] == "S":
+                    index2seq.append(f[2])
+        reads = load_read_pairs(fwd, rve, split_len, pad_to_multiple=32)
     table = P.build_kmer_table(index2seq, split_len)
     N = table.num_nodes
     print(f"# nodes={N} entries={table.num_entries} "
@@ -143,6 +153,18 @@ def main():
             return _scalar(nm) + _scalar(sm)
 
         variants["dense_sortfill_pallas"] = v_sortfill_pallas
+
+        def v_sortfill_onehot(codes, lens):
+            node_t = P._sortfill_node_slots(
+                codes, lens, tab_h1, pays, split_len, N,
+                fill="cummin", node_bits=node_bits)
+            cnt, kmin = P._slots_onehot_accum(node_t, D, N)
+            sat = P._saturate(cnt, kmin, lens, seq_lens, split_len)
+            B = codes.shape[0] // 2
+            nm, sm = P._pair_matmuls(sat[:B], sat[B:], N)
+            return _scalar(nm) + _scalar(sm)
+
+        variants["dense_sortfill_onehot"] = v_sortfill_onehot
 
     for name, fn in variants.items():
         try:
