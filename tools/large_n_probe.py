@@ -39,18 +39,31 @@ def main():
 
     bs = 16384
     warm = ReadPairBatch(fc[:bs], fl[:bs], rc[:bs], rl[:bs], 0, 0, bs)
-    t0 = time.time()
-    r0 = infer_pe_links(ids, refs, warm, k, batch_size=bs)
-    print(f"# warmup {time.time() - t0:.1f}s", file=sys.stderr)
-    assert isinstance(r0, PESparseResult), "expected the sparse engine"
-
     batch = ReadPairBatch(fc, fl, rc, rl, 0, 0, n_pairs)
-    t0 = time.time()
-    res = infer_pe_links(ids, refs, batch, k, batch_size=bs)
-    dt = time.time() - t0
-    assert isinstance(res, PESparseResult)
-    print(f"N={n_nodes}: full batch {bs} sustained (sparse mode), "
-          f"{n_pairs / dt:.0f} reads/s, {len(res.pair_keys)} link pairs")
+    modes = os.environ.get("PROBE_MODES", "sort").split(",")
+    results = {}
+    for mode in modes:
+        t0 = time.time()
+        r0 = infer_pe_links(ids, refs, warm, k, batch_size=bs,
+                            probe_mode=mode)
+        print(f"# warmup[{mode}] {time.time() - t0:.1f}s",
+              file=sys.stderr)
+        assert isinstance(r0, PESparseResult), "expected the sparse engine"
+        t0 = time.time()
+        res = infer_pe_links(ids, refs, batch, k, batch_size=bs,
+                             probe_mode=mode)
+        dt = time.time() - t0
+        assert isinstance(res, PESparseResult)
+        results[mode] = res
+        print(f"N={n_nodes} probe={mode}: full batch {bs} sustained "
+              f"(sparse mode), {n_pairs / dt:.0f} reads/s, "
+              f"{len(res.pair_keys)} link pairs")
+    first = results[modes[0]]
+    for mode, res in results.items():
+        np.testing.assert_array_equal(res.pair_keys, first.pair_keys)
+        np.testing.assert_array_equal(res.pair_counts, first.pair_counts)
+    if len(modes) > 1:
+        print("all probe modes byte-identical")
 
 
 if __name__ == "__main__":

@@ -46,10 +46,14 @@ def main():
     k = 55
     split_len = k + 1
     if os.environ.get("PROBE_DATASET") == "bench":
-        # the headline bench.py shape: N=100 random 800bp nodes
+        # the headline bench.py shape: random nodes (PROBE_NODES of
+        # PROBE_NODE_LEN bp; defaults match bench.py)
         from bench import synth_workload
         from vstrains_tpu.core.fastq import ReadPairBatch, _pack
-        index2seq, fwd_s, rve_s, k = synth_workload(n_pairs=pairs)
+        index2seq, fwd_s, rve_s, k = synth_workload(
+            n_nodes=int(os.environ.get("PROBE_NODES", 100)),
+            node_len=int(os.environ.get("PROBE_NODE_LEN", 800)),
+            n_pairs=pairs)
         split_len = k + 1
         fc, fl = _pack([s.encode() for s in fwd_s])
         rc, rl = _pack([s.encode() for s in rve_s])
@@ -166,6 +170,10 @@ def main():
 
         variants["dense_sortfill_onehot"] = v_sortfill_onehot
 
+    only = os.environ.get("PROBE_VARIANTS")
+    if only:
+        keep = set(only.split(","))
+        variants = {k: v for k, v in variants.items() if k in keep}
     for name, fn in variants.items():
         try:
             float(fn(*staged[0]))  # compile

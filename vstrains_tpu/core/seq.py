@@ -76,13 +76,23 @@ def revcomp_str(seq: str) -> str:
 
 
 def _mult_pows(mult: np.uint32, n: int) -> np.ndarray:
-    """[mult^0, mult^1, ..., mult^(n-1)] mod 2^32."""
+    """[mult^0, mult^1, ..., mult^(n-1)] mod 2^32.
+
+    Vectorized doubling — pows[step + i] = pows[i] * mult^step — instead
+    of an n-iteration Python loop (which dominated table builds at
+    metaSPAdes scale). uint32 multiply wraps mod 2^32 exactly, so the
+    values are bit-identical to the sequential product."""
     pows = np.empty(n, dtype=np.uint32)
-    acc = 1
-    m = int(mult)
-    for i in range(n):
-        pows[i] = acc
-        acc = (acc * m) & 0xFFFFFFFF  # wraps mod 2^32
+    if n == 0:
+        return pows
+    pows[0] = 1
+    step = 1
+    with np.errstate(over="ignore"):
+        while step < n:
+            cnt = min(step, n - step)
+            f = np.uint32(pow(int(mult), step, 1 << 32))
+            np.multiply(pows[:cnt], f, out=pows[step:step + cnt])
+            step *= 2
     return pows
 
 

@@ -133,32 +133,75 @@ def build_kmer_table(seqs: Sequence[str], split_len: int,
     offsets: List[np.ndarray] = []
     seq_lens = np.array([len(s) for s in seqs], dtype=np.int32)
 
-    def hashes(codes):
-        if sp is not None and codes.shape[0] >= sp[1]:
-            from vstrains_tpu.parallel.mesh import sp_window_hashes
-            return sp_window_hashes(codes, split_len, sp[0], bucket=True)
-        return window_hashes_np(codes, split_len)
+    # Long nodes hash individually (optionally SP-sharded over the mesh);
+    # everything else batches into ONE sentinel-separated concatenation
+    # per strand so the whole host build is a handful of vectorized
+    # passes instead of ~10 small numpy calls per node (at 50k nodes the
+    # per-node loop alone cost ~40s). A window crossing a node boundary
+    # necessarily contains the never-valid sentinel code, so boundary
+    # windows drop out through the same validity mask as N bases.
+    sp_min = sp[1] if sp is not None else None
+    _CHUNK_CODES = 32 * 1024 * 1024  # bound the hashing temporaries
+    parts: List[str] = []
+    keep: List[int] = []
+    klens: List[int] = []
+    cat_len = 0
+
+    def _flush():
+        nonlocal parts, keep, klens, cat_len
+        if not keep:
+            return
+        keep_a = np.asarray(keep, np.int32)
+        klens_a = np.asarray(klens, np.int64)
+        bounds = np.concatenate([[0], np.cumsum(klens_a + 1)])
+        cat = encode_seq("N".join(parts))
+        S = cat.shape[0]
+        # one revcomp of the whole concatenation covers every node's rc
+        # windows: the rc window at cat position p images the forward
+        # window at q = S - L - p, so node lookup and the forward-offset
+        # formula (PE_Inference.py:123-135 parity) are shared with the
+        # forward strand via q.
+        for cc, is_rc in ((cat, False), (revcomp_codes(cat), True)):
+            hh1, hh2, vv = window_hashes_np(cc, split_len)
+            idx = np.nonzero(vv)[0]
+            q = (S - split_len - idx) if is_rc else idx
+            which = np.searchsorted(bounds, q, side="right") - 1
+            h1s.append(hh1[idx])
+            h2s.append(hh2[idx])
+            nodes.append(keep_a[which])
+            offsets.append((q - bounds[which]).astype(np.int32))
+        parts, keep, klens, cat_len = [], [], [], 0
 
     for i, seq in enumerate(seqs):
-        codes = encode_seq(seq)
         n = len(seq)
         if n < split_len:
             continue
-        # forward-strand windows
-        f1, f2, fv = hashes(codes)
-        idx = np.nonzero(fv)[0]
-        h1s.append(f1[idx])
-        h2s.append(f2[idx])
-        nodes.append(np.full(idx.shape, i, dtype=np.int32))
-        offsets.append(idx.astype(np.int32))
-        # reverse-complement windows: rc window j <-> forward offset n-L-j
-        rc = revcomp_codes(codes)
-        r1, r2, rv = hashes(rc)
-        jdx = np.nonzero(rv)[0]
-        h1s.append(r1[jdx])
-        h2s.append(r2[jdx])
-        nodes.append(np.full(jdx.shape, i, dtype=np.int32))
-        offsets.append((n - split_len - jdx).astype(np.int32))
+        if sp_min is not None and n >= sp_min:
+            codes = encode_seq(seq)
+            from vstrains_tpu.parallel.mesh import sp_window_hashes
+            f1, f2, fv = sp_window_hashes(codes, split_len, sp[0],
+                                          bucket=True)
+            idx = np.nonzero(fv)[0]
+            h1s.append(f1[idx])
+            h2s.append(f2[idx])
+            nodes.append(np.full(idx.shape, i, dtype=np.int32))
+            offsets.append(idx.astype(np.int32))
+            # rc window j <-> forward offset n-L-j
+            r1, r2, rv = sp_window_hashes(revcomp_codes(codes), split_len,
+                                          sp[0], bucket=True)
+            jdx = np.nonzero(rv)[0]
+            h1s.append(r1[jdx])
+            h2s.append(r2[jdx])
+            nodes.append(np.full(jdx.shape, i, dtype=np.int32))
+            offsets.append((n - split_len - jdx).astype(np.int32))
+            continue
+        parts.append(seq if isinstance(seq, str) else seq.decode("ascii"))
+        keep.append(i)
+        klens.append(n)
+        cat_len += n + 1
+        if cat_len >= _CHUNK_CODES:
+            _flush()
+    _flush()
 
     if h1s:
         h1 = np.concatenate(h1s)
@@ -171,7 +214,26 @@ def build_kmer_table(seqs: Sequence[str], split_len: int,
         node = np.zeros(0, np.int32)
         offset = np.zeros(0, np.int32)
 
-    order = np.lexsort((offset, node, h2, h1))
+    # (h1, h2, node, offset) order via ONE packed-u64 stable sort plus a
+    # tie fix-up: equal (h1, h2) pairs across different (node, offset)
+    # are hash collisions — vanishingly rare — so sorting just the tie
+    # runs by the secondary key costs nothing while keeping the table
+    # order fully input-order-independent (the equivalent 4-key lexsort
+    # cost ~4x at metaSPAdes scale; all fields are non-negative and fit
+    # 32 bits, so the packing preserves the order)
+    key_h = (h1.astype(np.uint64) << np.uint64(32)) | h2.astype(np.uint64)
+    order = np.argsort(key_h, kind="stable")
+    kh_s = key_h[order]
+    ties = np.flatnonzero(kh_s[1:] == kh_s[:-1])
+    if ties.size:
+        in_run = np.zeros(kh_s.shape[0], bool)
+        in_run[ties] = True
+        in_run[ties + 1] = True
+        sub = np.flatnonzero(in_run)
+        key_no = ((node.astype(np.uint64) << np.uint64(32))
+                  | offset.astype(np.uint32).astype(np.uint64))
+        so = np.lexsort((key_no[order[sub]], kh_s[sub]))
+        order[sub] = order[sub[so]]
     h1 = h1[order]
     h2 = h2[order]
     node = node[order]
@@ -203,9 +265,14 @@ def build_kmer_table(seqs: Sequence[str], split_len: int,
         bits = max(10, min(26, int(np.ceil(np.log2(2 * h1.size)))))
         shift = 32 - bits
         buckets = (h1 >> np.uint32(shift)).astype(np.int64)
-        starts = np.searchsorted(buckets, np.arange(
-            (1 << bits) + 1, dtype=np.int64), side="left").astype(np.int32)
-        scan_depth = int(np.max(np.diff(starts))) if h1.size else 1
+        # starts[x] = #entries with bucket < x — a bincount prefix sum
+        # (a searchsorted over the 2^bits arange cost ~15s at 29M entries)
+        counts = np.bincount(buckets, minlength=(1 << bits))
+        starts = np.empty((1 << bits) + 1, dtype=np.int64)
+        starts[0] = 0
+        np.cumsum(counts, out=starts[1:])
+        starts = starts.astype(np.int32)
+        scan_depth = int(counts.max())
     else:
         shift = 32
         starts = np.zeros(2, np.int32)
