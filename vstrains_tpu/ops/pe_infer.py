@@ -1546,8 +1546,6 @@ def infer_pe_links(ids: Sequence[str], seqs: Sequence[str],
         node_mat = np.zeros((N, N), dtype=np.int64)
         short_mat = np.zeros((N, N), dtype=np.int64)
 
-        tab = (jnp.asarray(table.h1_biased), jnp.asarray(table.h2),
-               jnp.asarray(table.node), jnp.asarray(table.seq_lens))
         lookup = None
         if probe_mode == "lookup" and table.bucket_starts is not None:
             lookup = (jnp.asarray(table.bucket_starts),
@@ -1566,7 +1564,6 @@ def infer_pe_links(ids: Sequence[str], seqs: Sequence[str],
             T = max(reads.fwd_codes.shape[1], reads.rve_codes.shape[1])
             stats_impl = _stats_impl_choice(N, T - split_len + 1,
                                             table.max_dup)
-            bstarts = jnp.asarray(table.bucket_starts)
             probe = probe_mode
             # "sort" auto-upgrades to the gather-free payload-sort probe
             # when the graph fits its packing; the choice is a function
@@ -1591,6 +1588,19 @@ def infer_pe_links(ids: Sequence[str], seqs: Sequence[str],
             elif probe == "lookup":
                 probe_kw.update(shift=table.bucket_shift,
                                 probe_depth=table.scan_depth)
+
+        # transfer only the table arrays the chosen path reads: the
+        # sortfill probe carries h2/node inside its payloads and the
+        # bucket index only serves probe="lookup" — at metaSPAdes scale
+        # the unread arrays are hundreds of MB of H2D per call
+        empty = jnp.zeros(0, jnp.int32)
+        sortfill_fused = fused and probe == "sortfill"
+        tab = (jnp.asarray(table.h1_biased),
+               empty if sortfill_fused else jnp.asarray(table.h2),
+               empty if sortfill_fused else jnp.asarray(table.node),
+               jnp.asarray(table.seq_lens))
+        bstarts = (jnp.asarray(table.bucket_starts)
+                   if fused and probe == "lookup" else empty)
 
         acc_nm = jnp.zeros((N, N), jnp.int32)
         acc_sm = jnp.zeros((N, N), jnp.int32)
@@ -1707,13 +1717,36 @@ def _infer_pe_links_sparse(ids, table: KmerTable, reads: ReadPairBatch,
                 N, cap, depth, batch_size)
 
     tab_h1 = jnp.asarray(table.h1_biased)
-    tab_h2 = jnp.asarray(table.h2)
-    tab_node = jnp.asarray(table.node)
     seq_lens = jnp.asarray(table.seq_lens)
+    if sortfill:
+        # the payload probe never reads h2/node (they ride inside pays);
+        # skip their H2D transfer — ~130MB/call at metaSPAdes scale
+        tab_h2 = tab_node = jnp.zeros(0, jnp.int32)
+    else:
+        tab_h2 = jnp.asarray(table.h2)
+        tab_node = jnp.asarray(table.node)
 
     pe_k, pe_c, st_k, st_c = [], [], [], []
     ovfs = []
     Tr = max(reads.fwd_codes.shape[1], reads.rve_codes.shape[1])
+    # materializing sat_nodes right after its dispatch would sync the
+    # stream per batch (no overlap of host COO work, transfer, and
+    # device compute); buffer a window of device results instead and
+    # drain behind the dispatch front
+    pending: List = []
+
+    def _drain():
+        for sat_nodes, ovf in pending:
+            ovfs.append(ovf)
+            sn = np.asarray(sat_nodes)
+            b = sn.shape[0] // 2
+            pe, st = _sparse_pairs_np(sn[:b], sn[b:], N)
+            for arr, kl, cl in ((pe, pe_k, pe_c), (st, st_k, st_c)):
+                u, c = np.unique(arr, return_counts=True)
+                kl.append(u)
+                cl.append(c)
+        pending.clear()
+
     for kind, payload in _wire_batches(reads, batch_size,
                                        force_bytes=not sortfill):
         if sortfill:
@@ -1729,36 +1762,24 @@ def _infer_pe_links_sparse(ids, table: KmerTable, reads: ReadPairBatch,
                     split_len=split_len, depth=int(pays.shape[1]),
                     cap=cap, num_nodes=N, fill=fill,
                     node_bits=node_bits)
-            ovfs.append(ovf)
-            sn = np.asarray(sat_nodes)
-            b = sn.shape[0] // 2
-            pe, st = _sparse_pairs_np(sn[:b], sn[b:], N)
-            for arr, kl, cl in ((pe, pe_k, pe_c), (st, st_k, st_c)):
-                u, c = np.unique(arr, return_counts=True)
-                kl.append(u)
-                cl.append(c)
-            continue
-        fc, fl, rc, rl = payload
-        codes, lens = _stack_ends(fc, fl, rc, rl)
-        if lookup is not None:
-            bstarts, shift, probe_depth = lookup
-            q1, h2qi, valid, lo = _hash_lookup_kernel(
-                codes, lens, bstarts, tab_h1, split_len=split_len,
-                shift=shift, probe_depth=probe_depth)
         else:
-            q1, h2qi, valid, lo = _hash_join_kernel(
-                codes, lens, tab_h1, split_len=split_len)
-        sat_nodes, ovf = _stats_sparse_kernel(
-            q1, h2qi, valid, lo, lens, tab_h1, tab_h2, tab_node,
-            seq_lens, split_len=split_len, depth=depth, cap=cap)
-        ovfs.append(ovf)
-        sn = np.asarray(sat_nodes)
-        b = sn.shape[0] // 2
-        pe, st = _sparse_pairs_np(sn[:b], sn[b:], N)
-        for arr, kl, cl in ((pe, pe_k, pe_c), (st, st_k, st_c)):
-            u, c = np.unique(arr, return_counts=True)
-            kl.append(u)
-            cl.append(c)
+            fc, fl, rc, rl = payload
+            codes, lens = _stack_ends(fc, fl, rc, rl)
+            if lookup is not None:
+                bstarts, shift, probe_depth = lookup
+                q1, h2qi, valid, lo = _hash_lookup_kernel(
+                    codes, lens, bstarts, tab_h1, split_len=split_len,
+                    shift=shift, probe_depth=probe_depth)
+            else:
+                q1, h2qi, valid, lo = _hash_join_kernel(
+                    codes, lens, tab_h1, split_len=split_len)
+            sat_nodes, ovf = _stats_sparse_kernel(
+                q1, h2qi, valid, lo, lens, tab_h1, tab_h2, tab_node,
+                seq_lens, split_len=split_len, depth=depth, cap=cap)
+        pending.append((sat_nodes, ovf))
+        if len(pending) >= 32:  # bound device-resident results
+            _drain()
+    _drain()
 
     if any(bool(np.asarray(o)) for o in ovfs):
         if cap >= 256:
