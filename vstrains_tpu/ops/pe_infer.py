@@ -6,14 +6,23 @@ README calls out as the v1.1 speedup):
 
   host:   node (k+1)-mers of both strands -> dual 32-bit window hashes ->
           one flat sorted table (hash-sorted; duplicates adjacent).
-  device: per read batch (B reads, K windows each):
-            1. rolling window hashes (uint32 x2 lanes, VPU);
-            2. probe: vectorized binary search into the sorted table +
-               bounded duplicate scan;
-            3. per-(read, node) stats via scatter-accumulate: hit count
-               and min read k-index (the reference's third stat, the min
-               ref coordinate, cancels out of the saturation test — see
-               below — so it is never computed on device);
+  device: per read batch (B reads, K windows each), ONE fused dispatch:
+            1. rolling window hashes (uint32 x2 lanes, VPU) via the
+               prefix-sum factorization;
+            2. probe: default is "sortfill" — one stable sort of
+               [query ++ table] hashes where packed per-duplicate-rank
+               payloads (tag | h2-check | node id) ride along, a cummin
+               fill propagates each query's matching run, and one
+               contiguous row gather fetches all duplicate ranks
+               (binary search, direct-address lookup, and the classic
+               positional join are kept as cross-check probes; all
+               produce identical matrices);
+            3. per-(read, node) stats — hit count and min read k-index —
+               through the shape-picked accumulator (XLA one-hot /
+               VMEM-resident Pallas / scatter; sparse row-sort above
+               N=4096). The reference's third stat, the min ref
+               coordinate, cancels out of the saturation test — see
+               below — so it is never computed on device;
             4. the reference's saturation test, recast in exact integer
                arithmetic (see below);
             5. link accumulation as MXU matmuls: the reference's
