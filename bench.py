@@ -44,7 +44,9 @@ def synth_workload(n_nodes=100, node_len=800, n_pairs=100_000,
 
 
 def main():
-    n_pairs = 300_000
+    # 1M pairs keeps the timed region ~4s: short runs let the relay
+    # tunnel's per-dispatch jitter swing the figure by ~20%
+    n_pairs = 1_000_000
     refs, fwd, rve, k = synth_workload(n_pairs=n_pairs)
 
     # if the TPU tunnel is unavailable, measure honestly on CPU instead of

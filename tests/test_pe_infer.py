@@ -120,6 +120,49 @@ def test_pe_info_from_result_symmetry():
     assert dcpy == pe_info and dcpy is not pe_info
 
 
+def test_kmer_table_batched_build_matches_per_node():
+    """The batched (sentinel-separated concatenation) table build equals
+    a straightforward per-node construction — including nodes with
+    embedded N/lowercase bases, nodes shorter than the window, and
+    sequences that would collide across the node boundary if the
+    separator failed."""
+    from vstrains_tpu.core.seq import revcomp_codes, window_hashes_np
+    from vstrains_tpu.core.seq import encode_seq
+
+    rng = np.random.RandomState(23)
+    L = 8
+    seqs = _random_refs(rng, 12, [30, 7, 40, 15, 8, 25, 60, 9, 33,
+                                  12, 50, 14])
+    # same suffix/prefix across adjacent nodes: boundary windows would
+    # match if separator windows slipped through
+    seqs[2] = seqs[0][-6:] + seqs[2]
+    seqs[3] = seqs[3][:10] + "N" + seqs[3][11:]
+    seqs[5] = seqs[5][:4] + "acgt" + seqs[5][8:]  # lowercase -> bad codes
+
+    table = build_kmer_table(seqs, L)
+
+    exp = []
+    for i, s in enumerate(seqs):
+        n = len(s)
+        if n < L:
+            continue
+        codes = encode_seq(s)
+        for cc, is_rc in ((codes, False), (revcomp_codes(codes), True)):
+            h1, h2, v = window_hashes_np(cc, L)
+            for j in np.nonzero(v)[0]:
+                off = (n - L - j) if is_rc else j
+                exp.append((int(h1[j]), int(h2[j]), i, int(off)))
+    exp.sort()
+    m = table.num_entries
+    assert m == len(exp)
+    got = list(zip(
+        (table.h1_biased[:m].view(np.uint32) ^ np.uint32(0x80000000))
+        .tolist(),
+        table.h2[:m].view(np.uint32).tolist(),
+        table.node[:m].tolist(), table.offset[:m].tolist()))
+    assert got == exp
+
+
 def test_kmer_table_palindrome_double_entry():
     """A palindromic k-mer inserts both strand entries (reference inserts
     kmer and rev_kmer separately even when equal)."""
