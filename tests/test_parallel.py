@@ -28,6 +28,47 @@ def test_sharded_pe_bitwise_equal(eight_devices, data, model):
     np.testing.assert_array_equal(serial.short_mat, sharded.short_mat)
 
 
+def test_dp_sortfill_with_duplicates_bit_equal(eight_devices):
+    """The DP sortfill step (the production probe, read-sharded) matches
+    single-chip on a graph with duplicate k-mer runs (multi-rank
+    payloads)."""
+    rng = np.random.RandomState(29)
+    k = 11
+    motif = _random_refs(rng, 1, [40])[0]
+    refs = [motif + _random_refs(rng, 1, [60])[0] for _ in range(6)]
+    fwd, rve = _sample_reads(rng, refs, 96, 30, k)
+    batch = _make_batch(fwd, rve, k + 1)
+    ids = [str(i) for i in range(6)]
+    from vstrains_tpu.ops.pe_infer import build_kmer_table
+    assert build_kmer_table(refs, k + 1).max_dup > 1
+
+    serial = infer_pe_links(ids, refs, batch, k, batch_size=64)
+    mesh = make_mesh(data=8, model=1, devices=eight_devices)
+    sharded = infer_pe_links_sharded(ids, refs, batch, k, mesh,
+                                     batch_size=48)
+    np.testing.assert_array_equal(serial.node_mat, sharded.node_mat)
+    np.testing.assert_array_equal(serial.short_mat, sharded.short_mat)
+
+
+def test_dp_classic_join_still_equal(eight_devices, monkeypatch):
+    """The classic DP join path (taken when a graph exceeds the sortfill
+    packing) remains bit-identical to single-chip."""
+    import vstrains_tpu.parallel.mesh as M
+    monkeypatch.setattr(M, "_SORTFILL_MAX_DUP", 0)  # force classic
+    rng = np.random.RandomState(31)
+    k = 11
+    refs = _random_refs(rng, 4, [80, 100, 120, 140])
+    fwd, rve = _sample_reads(rng, refs, 64, 30, k)
+    batch = _make_batch(fwd, rve, k + 1)
+    ids = [str(i) for i in range(4)]
+    serial = infer_pe_links(ids, refs, batch, k, batch_size=32)
+    mesh = make_mesh(data=8, model=1, devices=eight_devices)
+    sharded = infer_pe_links_sharded(ids, refs, batch, k, mesh,
+                                     batch_size=48)
+    np.testing.assert_array_equal(serial.node_mat, sharded.node_mat)
+    np.testing.assert_array_equal(serial.short_mat, sharded.short_mat)
+
+
 def test_sp_window_hashes_match_host(eight_devices):
     rng = np.random.RandomState(5)
     bases = np.frombuffer(b"ACGT", dtype=np.uint8)

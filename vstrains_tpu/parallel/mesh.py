@@ -41,10 +41,15 @@ except ImportError:  # pragma: no cover
 
 from vstrains_tpu.core.fastq import ReadPairBatch
 from vstrains_tpu.ops.pe_infer import (KmerTable, PEResult,
+                                       _SORTFILL_MAX_DUP,
+                                       _build_sortfill_payloads,
                                        _dup_scan_stats_impl,
                                        _hash_join_impl,
                                        _pair_matmuls_jit,
-                                       _saturate, _stack_ends,
+                                       _saturate,
+                                       _slots_scatter_accum,
+                                       _sortfill_node_bits,
+                                       _sortfill_node_slots, _stack_ends,
                                        _stats_saturate_kernel,
                                        build_kmer_table)
 
@@ -137,6 +142,48 @@ def _pe_batch_sorted_dp(fc, fl, rc, rl, tab, hash_join_step, split_len,
     return _pair_matmuls_jit(sat[:B], sat[B:], num_nodes=num_nodes)
 
 
+def make_dp_sortfill_step(mesh: Mesh, split_len: int, num_nodes: int,
+                          node_bits: int, fill: str = "cummin"):
+    """Per-shard sortfill slot extraction over the 'data' axis — the
+    production single-chip probe, read-sharded. The join position of a
+    query depends only on that query and the (replicated) table, so
+    per-shard slots equal the global ones; the stats/saturation/matmul
+    stages run as global jitted kernels that GSPMD partitions over the
+    sharded rows (same pattern as the classic DP step)."""
+
+    def local(codes, lens, tab_h1, pays):
+        return _sortfill_node_slots(codes, lens, tab_h1, pays, split_len,
+                                    num_nodes, fill=fill,
+                                    node_bits=node_bits)
+
+    return jax.jit(shard_map(
+        local, mesh=mesh,
+        in_specs=(P("data", None), P("data"), P(None), P(None, None)),
+        out_specs=P("data", None),
+        check_vma=False,
+    ))
+
+
+def _pe_batch_sortfill_dp(fc, fl, rc, rl, tab_h1, pays, seq_lens,
+                          slots_step, split_len, num_nodes):
+    """Data-parallel batch step with the sortfill probe: sharded slots,
+    then GSPMD-partitioned stats + saturation + matmuls (scatter slot
+    accumulation — CPU-mesh friendly; results identical to the one-hot
+    and Pallas accumulators by test)."""
+    B = fc.shape[0]
+    codes, lens = _stack_ends(fc, fl, rc, rl)
+    node_t = slots_step(codes, lens, tab_h1, pays)
+    depth = int(pays.shape[1])
+    cnt, kmin = _slots_scatter_jit(node_t, depth=depth,
+                                   num_nodes=num_nodes)
+    sat = _saturate(cnt, kmin, lens, seq_lens, split_len)
+    return _pair_matmuls_jit(sat[:B], sat[B:], num_nodes=num_nodes)
+
+
+_slots_scatter_jit = partial(
+    jax.jit, static_argnames=("depth", "num_nodes"))(_slots_scatter_accum)
+
+
 # --------------------------------------------------------------------------
 # DP x TP PE-inference steps (staged sort-join probe; TP shards the table)
 # --------------------------------------------------------------------------
@@ -226,12 +273,27 @@ def infer_pe_links_sharded(ids: Sequence[str], seqs: Sequence[str],
         return PEResult(list(ids), node_mat, short_mat, reads.n_reads,
                         reads.short_reads, reads.used_reads)
 
+    sortfill = False
     if n_model == 1:
-        # read-sharded sort-merge-join probe, table replicated
-        hash_join_step = make_dp_hash_join_step(mesh, split_len)
-        tab_args_dp = (jnp.asarray(table.h1_biased),
-                       jnp.asarray(table.h2), jnp.asarray(table.node),
-                       jnp.asarray(table.seq_lens))
+        # read-sharded probe, table replicated; same table-only
+        # auto-upgrade rule as the single-chip driver, so the mesh path
+        # runs the production sortfill kernel when the graph fits it
+        node_bits = _sortfill_node_bits(N)
+        sortfill = (node_bits is not None
+                    and table.max_dup <= _SORTFILL_MAX_DUP)
+        if sortfill:
+            slots_step = make_dp_sortfill_step(mesh, split_len, N,
+                                               node_bits)
+            tab_h1_j = jnp.asarray(table.h1_biased)
+            pays_j = jnp.asarray(
+                _build_sortfill_payloads(table, node_bits))
+            seq_lens_dp = jnp.asarray(table.seq_lens)
+            logger.info("dp probe: sortfill (node_bits=%d)", node_bits)
+        else:
+            hash_join_step = make_dp_hash_join_step(mesh, split_len)
+            tab_args_dp = (jnp.asarray(table.h1_biased),
+                           jnp.asarray(table.h2), jnp.asarray(table.node),
+                           jnp.asarray(table.seq_lens))
     else:
         # staged DPxTP: per-shard join + stat-monoid psum/pmin merge
         stab = shard_table(table, n_model)
@@ -256,7 +318,12 @@ def infer_pe_links_sharded(ids: Sequence[str], seqs: Sequence[str],
             rc = np.pad(rc, ((0, pad), (0, 0)), constant_values=255)
             fl = np.pad(fl, (0, pad))
             rl = np.pad(rl, (0, pad))
-        if n_model == 1:
+        if sortfill:
+            nm, sm = _pe_batch_sortfill_dp(
+                jnp.asarray(fc), jnp.asarray(fl), jnp.asarray(rc),
+                jnp.asarray(rl), tab_h1_j, pays_j, seq_lens_dp,
+                slots_step, split_len, N)
+        elif n_model == 1:
             nm, sm = _pe_batch_sorted_dp(
                 jnp.asarray(fc), jnp.asarray(fl), jnp.asarray(rc),
                 jnp.asarray(rl), tab_args_dp, hash_join_step, split_len,
