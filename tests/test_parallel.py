@@ -28,10 +28,13 @@ def test_sharded_pe_bitwise_equal(eight_devices, data, model):
     np.testing.assert_array_equal(serial.short_mat, sharded.short_mat)
 
 
-def test_dp_sortfill_with_duplicates_bit_equal(eight_devices):
-    """The DP sortfill step (the production probe, read-sharded) matches
-    single-chip on a graph with duplicate k-mer runs (multi-rank
-    payloads)."""
+@pytest.mark.parametrize("data,model", [(8, 1), (4, 2), (2, 4)])
+def test_sortfill_sharded_with_duplicates_bit_equal(eight_devices, data,
+                                                    model):
+    """The sharded sortfill steps (read-sharded DP and table-sharded TP
+    with per-shard payloads) match single-chip on a graph with duplicate
+    k-mer runs — multi-rank payloads, runs free to straddle TP shard
+    boundaries."""
     rng = np.random.RandomState(29)
     k = 11
     motif = _random_refs(rng, 1, [40])[0]
@@ -43,16 +46,18 @@ def test_dp_sortfill_with_duplicates_bit_equal(eight_devices):
     assert build_kmer_table(refs, k + 1).max_dup > 1
 
     serial = infer_pe_links(ids, refs, batch, k, batch_size=64)
-    mesh = make_mesh(data=8, model=1, devices=eight_devices)
+    mesh = make_mesh(data=data, model=model, devices=eight_devices)
     sharded = infer_pe_links_sharded(ids, refs, batch, k, mesh,
                                      batch_size=48)
     np.testing.assert_array_equal(serial.node_mat, sharded.node_mat)
     np.testing.assert_array_equal(serial.short_mat, sharded.short_mat)
 
 
-def test_dp_classic_join_still_equal(eight_devices, monkeypatch):
-    """The classic DP join path (taken when a graph exceeds the sortfill
-    packing) remains bit-identical to single-chip."""
+@pytest.mark.parametrize("data,model", [(8, 1), (4, 2)])
+def test_classic_join_paths_still_equal(eight_devices, monkeypatch,
+                                        data, model):
+    """The classic DP/TP join paths (taken when a graph exceeds the
+    sortfill packing) remain bit-identical to single-chip."""
     import vstrains_tpu.parallel.mesh as M
     monkeypatch.setattr(M, "_SORTFILL_MAX_DUP", 0)  # force classic
     rng = np.random.RandomState(31)
@@ -62,7 +67,7 @@ def test_dp_classic_join_still_equal(eight_devices, monkeypatch):
     batch = _make_batch(fwd, rve, k + 1)
     ids = [str(i) for i in range(4)]
     serial = infer_pe_links(ids, refs, batch, k, batch_size=32)
-    mesh = make_mesh(data=8, model=1, devices=eight_devices)
+    mesh = make_mesh(data=data, model=model, devices=eight_devices)
     sharded = infer_pe_links_sharded(ids, refs, batch, k, mesh,
                                      batch_size=48)
     np.testing.assert_array_equal(serial.node_mat, sharded.node_mat)

@@ -245,6 +245,73 @@ def _pe_batch_tp(fc, fl, rc, rl, stab_args, seq_lens, hash_join_step,
     return _pair_matmuls_jit(sat[:B], sat[B:], num_nodes=num_nodes)
 
 
+def shard_sortfill_payloads(table: KmerTable, n_shards: int,
+                            node_bits: int):
+    """Per-table-shard sortfill payload matrices, stacked to
+    (S, M', D) — each shard's payloads are built from its own slice, so
+    duplicate runs straddling a shard boundary simply restart their rank
+    chain in the next shard; the (sum, min) stat monoid merges the split
+    runs exactly (same argument as the classic TP join). Shards pad with
+    the same never-matching sentinels as shard_table; D is forced to the
+    GLOBAL duplicate bound so every shard's slot tensor has one shape."""
+    from vstrains_tpu.ops.pe_infer import _INF
+    m = table.num_entries
+    per = -(-m // n_shards) if m else 1
+    pays = []
+    for s in range(n_shards):
+        lo = s * per
+        hi = min(lo + per, m)
+        h1 = np.full(per, _INF, dtype=np.int32)
+        h2 = np.full(per, -1, dtype=np.int32)
+        node = np.zeros(per, dtype=np.int32)
+        if hi > lo:
+            h1[: hi - lo] = table.h1_biased[lo:hi]
+            h2[: hi - lo] = table.h2[lo:hi]
+            node[: hi - lo] = table.node[lo:hi]
+        shim = KmerTable(
+            h1_biased=h1, h2=h2, node=node,
+            offset=np.zeros(per, np.int32), max_dup=table.max_dup,
+            num_nodes=table.num_nodes, split_len=table.split_len,
+            seq_lens=table.seq_lens, num_entries=hi - lo)
+        pays.append(_build_sortfill_payloads(shim, node_bits))
+    return np.stack(pays)
+
+
+def make_tp_sortfill_step(mesh: Mesh, split_len: int, num_nodes: int,
+                          node_bits: int, depth: int,
+                          fill: str = "cummin"):
+    """DPxTP step with the production sortfill probe: every model rank
+    extracts node slots against its own table shard's payloads, local
+    (count, min-kindex) partials psum/pmin-merge over the model axis,
+    then the shared saturation test — exactly the classic TP contract
+    with the probe swapped."""
+
+    def local(codes, lens, th1, pays, seq_lens):
+        node_t = _sortfill_node_slots(codes, lens, th1[0], pays[0],
+                                      split_len, num_nodes, fill=fill,
+                                      node_bits=node_bits)
+        cnt, kmin = _slots_scatter_accum(node_t, depth, num_nodes)
+        cnt = jax.lax.psum(cnt, "model")
+        kmin = jax.lax.pmin(kmin, "model")
+        return _saturate(cnt, kmin, lens, seq_lens, split_len)
+
+    return jax.jit(shard_map(
+        local, mesh=mesh,
+        in_specs=(P("data", None), P("data"), P("model", None),
+                  P("model", None, None), P(None)),
+        out_specs=P("data", None),
+        check_vma=False,
+    ))
+
+
+def _pe_batch_tp_sortfill(fc, fl, rc, rl, th1, pays, seq_lens, step,
+                          num_nodes):
+    B = fc.shape[0]
+    codes, lens = _stack_ends(fc, fl, rc, rl)
+    sat = step(codes, lens, th1, pays, seq_lens)
+    return _pair_matmuls_jit(sat[:B], sat[B:], num_nodes=num_nodes)
+
+
 def infer_pe_links_sharded(ids: Sequence[str], seqs: Sequence[str],
                            reads: ReadPairBatch, kmer_size: int,
                            mesh: Mesh = None,
@@ -295,13 +362,29 @@ def infer_pe_links_sharded(ids: Sequence[str], seqs: Sequence[str],
                            jnp.asarray(table.h2), jnp.asarray(table.node),
                            jnp.asarray(table.seq_lens))
     else:
-        # staged DPxTP: per-shard join + stat-monoid psum/pmin merge
+        # staged DPxTP: per-shard probe + stat-monoid psum/pmin merge;
+        # same sortfill auto-upgrade rule as the single-chip driver
+        node_bits = _sortfill_node_bits(N)
+        sortfill_tp = (node_bits is not None
+                       and table.max_dup <= _SORTFILL_MAX_DUP)
         stab = shard_table(table, n_model)
-        hash_join_step = make_tp_hash_join_step(mesh, split_len)
-        stats_step = make_tp_stats_step(mesh, split_len, table.max_dup, N)
-        stab_args = (jnp.asarray(stab.h1_biased), jnp.asarray(stab.h2),
-                     jnp.asarray(stab.node))
-        seq_lens_j = jnp.asarray(table.seq_lens)
+        if sortfill_tp:
+            pays_tp = jnp.asarray(
+                shard_sortfill_payloads(table, n_model, node_bits))
+            depth_tp = int(pays_tp.shape[2])
+            tp_step = make_tp_sortfill_step(mesh, split_len, N,
+                                            node_bits, depth_tp)
+            th1_tp = jnp.asarray(stab.h1_biased)
+            seq_lens_j = jnp.asarray(table.seq_lens)
+            logger.info("tp probe: sortfill (node_bits=%d, %d shards)",
+                        node_bits, n_model)
+        else:
+            hash_join_step = make_tp_hash_join_step(mesh, split_len)
+            stats_step = make_tp_stats_step(mesh, split_len,
+                                            table.max_dup, N)
+            stab_args = (jnp.asarray(stab.h1_biased),
+                         jnp.asarray(stab.h2), jnp.asarray(stab.node))
+            seq_lens_j = jnp.asarray(table.seq_lens)
 
     # batch size must divide evenly over the data axis
     bs = -(-batch_size // n_data) * n_data
@@ -328,6 +411,10 @@ def infer_pe_links_sharded(ids: Sequence[str], seqs: Sequence[str],
                 jnp.asarray(fc), jnp.asarray(fl), jnp.asarray(rc),
                 jnp.asarray(rl), tab_args_dp, hash_join_step, split_len,
                 table.max_dup, N)
+        elif sortfill_tp:
+            nm, sm = _pe_batch_tp_sortfill(
+                jnp.asarray(fc), jnp.asarray(fl), jnp.asarray(rc),
+                jnp.asarray(rl), th1_tp, pays_tp, seq_lens_j, tp_step, N)
         else:
             nm, sm = _pe_batch_tp(
                 jnp.asarray(fc), jnp.asarray(fl), jnp.asarray(rc),
