@@ -41,6 +41,15 @@ def main():
     warm = ReadPairBatch(fc[:bs], fl[:bs], rc[:bs], rl[:bs], 0, 0, bs)
     batch = ReadPairBatch(fc, fl, rc, rl, 0, 0, n_pairs)
     modes = os.environ.get("PROBE_MODES", "sort").split(",")
+
+    def as_dense(res):
+        if not isinstance(res, PESparseResult):
+            return res.node_mat
+        n = len(res.ids)
+        dm = np.zeros((n, n), np.int64)
+        dm[res.pair_keys // n, res.pair_keys % n] = res.pair_counts
+        return dm
+
     results = {}
     for mode in modes:
         t0 = time.time()
@@ -48,20 +57,19 @@ def main():
                             probe_mode=mode)
         print(f"# warmup[{mode}] {time.time() - t0:.1f}s",
               file=sys.stderr)
-        assert isinstance(r0, PESparseResult), "expected the sparse engine"
         t0 = time.time()
         res = infer_pe_links(ids, refs, batch, k, batch_size=bs,
                              probe_mode=mode)
         dt = time.time() - t0
-        assert isinstance(res, PESparseResult)
-        results[mode] = res
+        kind = "sparse" if isinstance(res, PESparseResult) else "dense"
+        results[mode] = as_dense(res)
+        links = int(np.count_nonzero(results[mode]))
         print(f"N={n_nodes} probe={mode}: full batch {bs} sustained "
-              f"(sparse mode), {n_pairs / dt:.0f} reads/s, "
-              f"{len(res.pair_keys)} link pairs")
+              f"({kind} mode), {n_pairs / dt:.0f} reads/s, "
+              f"{links} link pairs")
     first = results[modes[0]]
-    for mode, res in results.items():
-        np.testing.assert_array_equal(res.pair_keys, first.pair_keys)
-        np.testing.assert_array_equal(res.pair_counts, first.pair_counts)
+    for res in results.values():
+        np.testing.assert_array_equal(res, first)
     if len(modes) > 1:
         print("all probe modes byte-identical")
 

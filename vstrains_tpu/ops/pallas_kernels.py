@@ -133,9 +133,10 @@ _STATS_PALLAS_COL_CHUNK = 128
 
 def stats_accum_pallas_fits(C: int, num_nodes: int) -> bool:
     """Any slot count fits (the kernel sweeps C in 128-column grid
-    steps); N caps where the per-block (cnt, kmin) accumulators and the
-    O(R*C*N) compare volume stop being the economical stats path — the
-    sparse row-sort path takes over beyond it."""
+    steps); N caps at the dense driver's cutover (N ~ 3.8k at the
+    default batch — set by the N^2 accumulators around the stats, not
+    by this kernel, which was measured correct and ~360 ms/batch at
+    N=5000). Beyond it the sparse row-sort path takes over."""
     return num_nodes <= _STATS_PALLAS_MAX_NODES
 
 

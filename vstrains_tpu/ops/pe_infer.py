@@ -1501,10 +1501,14 @@ def infer_pe_links(ids: Sequence[str], seqs: Sequence[str],
                 "%d nodes", table.num_entries, table.max_dup,
                 table.scan_depth, N)
 
-    # the dense per-batch stats tensors are (2*batch, N+1) int32 x3; when
-    # they would not fit ~1.5GB of HBM at the requested batch (metaSPAdes-
-    # scale graphs), switch to the sparse (read, node)-pair path whose
-    # footprint is independent of N — the batch never shrinks with N
+    # Dense/sparse cutover. The dense path's cost above a few thousand
+    # nodes is NOT the (2*batch, ~N) stats tensors (those fit well past
+    # it) but everything N- and N^2-shaped around them: the (N, N) link
+    # accumulators and their D2H spill, the N-wide saturate, and the
+    # N^2*B pair matmuls. Measured at N=5000 (D=2): dense 5.1k vs
+    # sparse 17.6k reads/s E2E — so the cutover stays at the same point
+    # the stats-memory formula happened to give (N ~ 3.8k at the
+    # default batch), now as an explicit choice.
     budget_rows = max(512, (1_500_000_000 // (12 * (N + 1))) // 2)
     sparse = (stats_mode == "sparse"
               or (stats_mode == "auto" and batch_size > budget_rows))
