@@ -39,9 +39,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 REF_SCRIPT = "/root/reference/utils/VStrains_PE_Inference.py"
 
 
-def build_dataset(base, n_components, pairs_total, rng_seed=5):
+def build_dataset(base, n_components, pairs_total, rng_seed=5,
+                  return_comps=False):
     """Multi-component metaSPAdes-style mixture, one component with 10kb
-    anchor nodes (exercises the SP table-build path on multi-device)."""
+    anchor nodes (exercises the SP table-build path on multi-device).
+    With return_comps, also returns the per-component SynthDataset list
+    (true haplotypes, per-component contigs.paths)."""
     from vstrains_tpu.evals.synth import make_dataset
 
     # abundances 20..100 scale per-strain pair counts by
@@ -79,6 +82,8 @@ def build_dataset(base, n_components, pairs_total, rng_seed=5):
             for ds in comps:
                 with open(getattr(ds, attr), "rb") as f:
                     o.write(f.read())
+    if return_comps:
+        return gfa, fwd, rve, n_nodes, comps
     return gfa, fwd, rve, n_nodes
 
 
