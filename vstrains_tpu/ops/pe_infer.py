@@ -1833,11 +1833,18 @@ def write_pe_files(result, pe_path: str, st_path: str) -> None:
                     fh.write("".join(
                         f"{ids[i]}:{ids[j]}:{row[j]}\n" for j in range(n)))
         return
+    # row-wise .tolist() + one join per row: per-element numpy scalar
+    # indexing made this the slowest part of the PE stage at N ~ 1000
+    # (2*N^2 f-string writes); bytes are unchanged
     with open(pe_path, "w") as f_pe, open(st_path, "w") as f_st:
         for i in range(n):
-            for j in range(n):
-                f_pe.write(f"{ids[i]}:{ids[j]}:{result.node_mat[i][j]}\n")
-                f_st.write(f"{ids[i]}:{ids[j]}:{result.short_mat[i][j]}\n")
+            u = ids[i]
+            nrow = result.node_mat[i].tolist()
+            srow = result.short_mat[i].tolist()
+            f_pe.write("".join(
+                f"{u}:{ids[j]}:{nrow[j]}\n" for j in range(n)))
+            f_st.write("".join(
+                f"{u}:{ids[j]}:{srow[j]}\n" for j in range(n)))
 
 
 def process_pe_info(node_ids: Sequence[str], pe_info_file: str,

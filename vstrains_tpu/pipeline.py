@@ -79,14 +79,15 @@ def _enable_compilation_cache(logger) -> None:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-        if (jax.default_backend() not in ("cpu",)
-                and not os.listdir(cache_dir)):
+        if jax.default_backend() not in ("cpu",):
             logger.info(
-                "compilation cache at %s is empty: the first run on an "
-                "accelerator compiles each kernel shape (minutes each "
-                "over a remote-compile link); repeats reuse the cache. "
-                "Tiny workloads automatically fall back to the CPU "
-                "backend instead.", cache_dir)
+                "accelerator kernels compile per shape (tens of seconds "
+                "to minutes each). The persistent cache at %s amortizes "
+                "repeats when the PJRT backend supports executable "
+                "serialization; relay-tunneled TPU backends may not, in "
+                "which case every process pays the compile once (tiny "
+                "workloads automatically fall back to the CPU backend "
+                "instead).", cache_dir)
     except Exception as e:  # non-fatal
         logger.debug("compilation cache unavailable: %s", e)
 
