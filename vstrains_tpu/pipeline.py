@@ -65,6 +65,66 @@ class PipelineError(Exception):
     pass
 
 
+def _prefetch_pe_compile(ids, seqs, ksize, batch_size, fwd_path, logger):
+    """Best-effort background warm-up of the PE kernel compile.
+
+    Accelerator compiles of the fused batch kernel cost tens of seconds
+    per process (and relay-tunneled backends cannot persist them — see
+    _enable_compilation_cache). The kernel's compiled signature depends
+    only on (batch, read-width, table shapes), never on read content, so
+    a fabricated zero-read batch of the right width triggers the exact
+    compile while the real FASTQs load in the main thread; the real
+    dispatch then waits on jit's compile lock instead of starting from
+    scratch. Skipped for small libraries (the engine's CPU fallback
+    handles those). Any failure here is swallowed — it only costs the
+    overlap."""
+    try:
+        import gzip
+        import os as _os
+
+        import numpy as _np
+
+        from vstrains_tpu.core.fastq import ReadPairBatch
+
+        opener = gzip.open if fwd_path.endswith(".gz") else open
+        width = 0
+        with opener(fwd_path, "rt") as fh:
+            for i, line in enumerate(fh):
+                if i % 4 == 1:
+                    width = max(width, len(line.strip()))
+                if i >= 4095:
+                    break
+        if width < ksize + 1:
+            return
+        # ~ bytes per FASTQ record pair; under the fallback threshold
+        # the accelerator is never used, so there is nothing to warm
+        est_pairs = _os.path.getsize(fwd_path) // max(2 * width + 40, 1)
+        if est_pairs <= 65536:
+            return
+        T = -(-width // 32) * 32
+        B = batch_size
+        zc = _np.zeros((B, T), _np.uint8)
+        zl = _np.zeros(B, _np.int32)
+        warm = ReadPairBatch(zc, zl, zc, zl, 0, 0, B)
+        quiet = logging.getLogger("vstrains_tpu.pe_prefetch")
+        quiet.setLevel(logging.WARNING)
+        # the warm batch is itself under the tiny-workload CPU-fallback
+        # threshold — force the accelerator for just this call
+        prev = _os.environ.get("VSTRAINS_FORCE_BACKEND")
+        _os.environ["VSTRAINS_FORCE_BACKEND"] = "prefetch"
+        try:
+            infer_pe_links(ids, seqs, warm, ksize,
+                           batch_size=batch_size, logger=quiet)
+        finally:
+            if prev is None:
+                _os.environ.pop("VSTRAINS_FORCE_BACKEND", None)
+            else:
+                _os.environ["VSTRAINS_FORCE_BACKEND"] = prev
+        logger.debug("PE kernel compile prefetched (width %d)", width)
+    except Exception as exc:  # never fail the pipeline from here
+        logger.debug("PE compile prefetch skipped: %s", exc)
+
+
 def _enable_compilation_cache(logger) -> None:
     """Persistent XLA compilation cache: kernel compiles (expensive on TPU,
     especially via remote-compile tunnels) amortize across runs."""
@@ -214,6 +274,12 @@ def run(args, logger: logging.Logger = None) -> int:
         with timer.stage("pe_inference", logger):
             ids = list(view1.nodes.keys())
             seqs = [view1.nodes[i].seq for i in ids]
+            import threading
+            bsz = getattr(args, "pe_batch_size", 16384)
+            threading.Thread(
+                target=_prefetch_pe_compile,
+                args=(ids, seqs, ksize, bsz, args.fwd, logger),
+                daemon=True).start()
             reads = load_read_pairs(args.fwd, args.rve, ksize + 1,
                                     pad_to_multiple=32)
             logger.info("reads: used=%d, with_N=%d, short=%d",
