@@ -1,0 +1,105 @@
+"""FULL-PIPELINE A/B against the ACTUAL reference implementation.
+
+The reference (/root/reference) needs graph-tool and gfapy — unavailable
+as wheels here — so `shims/` provides a pure-Python stand-in for the
+exact API surface it uses (see shims/graph_tool/__init__.py). With it,
+the real reference pipeline runs end-to-end in a subprocess and every
+shared artifact is compared:
+
+  * strain.fasta           — identical strain-sequence SETS (the
+    reference's record order depends on dict-insertion history at
+    equal-length ties and PYTHONHASHSEED; see docs/DIVERGENCES.md)
+  * split_graph_final.gfa  — byte-identical (the disentanglement
+    north-star artifact)
+  * aln/pe_info, aln/st_info — byte-identical
+  * stage breadcrumb GFAs  — byte-identical except extraction-order-
+    dependent graph_S{i}/S{i}post snapshots
+"""
+
+import os
+import subprocess
+import sys
+from types import SimpleNamespace
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REFERENCE = "/root/reference"
+
+
+def _have_reference():
+    return os.path.exists(os.path.join(REFERENCE, "vstrains"))
+
+
+def _run_reference(data, outdir):
+    env = dict(os.environ)
+    env["PYTHONHASHSEED"] = "0"
+    env["PYTHONPATH"] = f"{REPO}/shims:{REFERENCE}"
+    r = subprocess.run(
+        [sys.executable, os.path.join(REFERENCE, "vstrains"),
+         "-a", "spades",
+         "-g", f"{data}/assembly_graph_after_simplification.gfa",
+         "-p", f"{data}/contigs.paths",
+         "-fwd", f"{data}/reads_1.fastq",
+         "-rve", f"{data}/reads_2.fastq",
+         "-o", outdir],
+        cwd=REFERENCE, env=env, capture_output=True, text=True,
+        timeout=900)
+    assert r.returncode == 0, f"reference failed:\n{r.stdout[-2000:]}" \
+                              f"\n{r.stderr[-2000:]}"
+
+
+def _run_ours(data, outdir):
+    from vstrains_tpu import pipeline
+    import logging
+    args = SimpleNamespace(
+        gfa_file=f"{data}/assembly_graph_after_simplification.gfa",
+        path_file=f"{data}/contigs.paths",
+        fwd=f"{data}/reads_1.fastq", rve=f"{data}/reads_2.fastq",
+        output_dir=outdir, min_cov=None, min_len=250, dev=False,
+        pe_batch_size=1024, resume=False)
+    for sub in ["gfa", "tmp", "paf", "aln"]:
+        os.makedirs(os.path.join(outdir, sub), exist_ok=True)
+    pipeline.run(args, logging.getLogger("ab"))
+
+
+def _fasta_seqs(path):
+    recs = open(path).read().split(">")[1:]
+    return sorted("".join(r.splitlines()[1:]) for r in recs)
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not _have_reference(), reason="reference not mounted")
+@pytest.mark.parametrize("cfg", [
+    dict(num_strains=3, num_bubbles=3, pairs_per_strain=400,
+         abundances=(40.0, 70.0, 100.0), contig_mode="split",
+         error_rate=0.0, seed=77),
+    dict(num_strains=5, num_bubbles=4, pairs_per_strain=400,
+         abundances=(20.0, 45.0, 70.0, 95.0, 120.0),
+         contig_mode="split", error_rate=0.0, seed=3),
+    dict(num_strains=2, num_bubbles=2, pairs_per_strain=300,
+         abundances=(50.0, 90.0), contig_mode="full",
+         error_rate=0.0, seed=11),
+])
+def test_full_pipeline_matches_reference(tmp_path, cfg):
+    from vstrains_tpu.evals.synth import make_dataset
+
+    data = tmp_path / "data"
+    ds = make_dataset(str(data), **cfg)
+    ref_out = str(tmp_path / "ref")
+    our_out = str(tmp_path / "ours")
+    _run_reference(str(data), ref_out)
+    _run_ours(str(data), our_out)
+
+    ref_seqs = _fasta_seqs(f"{ref_out}/strain.fasta")
+    our_seqs = _fasta_seqs(f"{our_out}/strain.fasta")
+    assert ref_seqs == our_seqs, "strain sequence sets differ"
+    # both recover the planted haplotypes exactly on clean signals
+    assert ref_seqs == sorted(ds.true_haplotypes)
+
+    for name in ("aln/pe_info", "aln/st_info",
+                 "gfa/split_graph_final.gfa", "gfa/graph_L0.gfa",
+                 "gfa/s_graph_L1.gfa"):
+        a = open(f"{ref_out}/{name}", "rb").read()
+        b = open(f"{our_out}/{name}", "rb").read()
+        assert a == b, f"{name} differs from the reference's bytes"
