@@ -80,6 +80,10 @@ def _fasta_seqs(path):
     dict(num_strains=2, num_bubbles=2, pairs_per_strain=300,
          abundances=(50.0, 90.0), contig_mode="full",
          error_rate=0.0, seed=11),
+    # the reference's own hardest benchmark scale (15-strain ZIKV)
+    dict(num_strains=15, num_bubbles=6, pairs_per_strain=300,
+         abundances=tuple(20.0 + 13.0 * i for i in range(15)),
+         contig_mode="split", error_rate=0.0, seed=5),
 ])
 def test_full_pipeline_matches_reference(tmp_path, cfg):
     from vstrains_tpu.evals.synth import make_dataset
