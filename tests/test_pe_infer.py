@@ -461,6 +461,27 @@ def test_stats_pallas_wide_grid_interpret():
     np.testing.assert_array_equal(np.asarray(kmin), np.asarray(kmin_ref))
 
 
+def test_heavy_repeat_graph_beyond_sortfill_packing():
+    """A graph whose duplicate runs exceed the sortfill payload cap
+    (max_dup > 16) auto-falls back to the classic join and still matches
+    the reference-loop oracle exactly."""
+    import vstrains_tpu.ops.pe_infer as P
+    rng = np.random.RandomState(41)
+    k = 11
+    motif = _random_refs(rng, 1, [30])[0]
+    # 24 nodes share one motif -> duplicate runs of ~24 > cap
+    refs = [motif + _random_refs(rng, 1, [50])[0] for _ in range(24)]
+    table = build_kmer_table(refs, k + 1)
+    assert table.max_dup > P._SORTFILL_MAX_DUP
+    fwd, rve = _sample_reads(rng, refs, 80, 30, k)
+    batch = _make_batch(fwd, rve, k + 1)
+    ids = [str(i) for i in range(len(refs))]
+    res = infer_pe_links(ids, refs, batch, k, batch_size=64)
+    nm, sm, *_ = oracle_pe_matrices(refs, fwd, rve, k)
+    np.testing.assert_array_equal(res.node_mat, nm)
+    np.testing.assert_array_equal(res.short_mat, sm)
+
+
 def test_length_buckets_plan():
     from vstrains_tpu.ops.pe_infer import _length_buckets
     rng = np.random.RandomState(5)
