@@ -44,3 +44,22 @@ def test_pair_matmuls_pallas_matches_xla():
     nmx, smx = _pair_matmuls(jnp.asarray(f), jnp.asarray(r), N)
     np.testing.assert_array_equal(np.asarray(nmp), np.asarray(nmx))
     np.testing.assert_array_equal(np.asarray(smp), np.asarray(smx))
+
+
+def test_sort_rows_pallas_matches_lexsort():
+    """The bitonic row sorter (kept as a tested artifact — see
+    docs/ROADMAP.md #1 negative result) matches a (key, val) lexsort,
+    including non-power-of-two widths via sentinel padding."""
+    from vstrains_tpu.ops.pallas_sort import sort_rows_pallas
+
+    rng = np.random.RandomState(7)
+    for R, C in ((32, 100), (16, 256), (8, 5)):
+        key = rng.randint(-2**31, 2**31, (R, C)).astype(np.int32)
+        val = rng.randint(0, 97, (R, C)).astype(np.int32)
+        ko, vo = sort_rows_pallas(jnp.asarray(key), jnp.asarray(val),
+                                  interpret=True)
+        order = np.lexsort((val, key), axis=-1)
+        np.testing.assert_array_equal(
+            np.asarray(ko), np.take_along_axis(key, order, axis=1))
+        np.testing.assert_array_equal(
+            np.asarray(vo), np.take_along_axis(val, order, axis=1))
