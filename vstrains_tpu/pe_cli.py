@@ -61,6 +61,17 @@ def main(argv=None) -> int:
     from vstrains_tpu.ops.pe_infer import infer_pe_links, write_pe_files
 
     split_len = args.kmer_size + 1
+    # warm the kernel compile while the FASTQs load (same rationale as
+    # the pipeline: relay backends re-pay the compile every process)
+    import logging
+    import threading
+
+    from vstrains_tpu.pipeline import _prefetch_pe_compile
+    threading.Thread(
+        target=_prefetch_pe_compile,
+        args=(index2id, index2seq, args.kmer_size, args.batch_size,
+              args.fwd, logging.getLogger("pe_cli")),
+        daemon=True).start()
     print("matching read pairs against node k-mers")
     reads = load_read_pairs(args.fwd, args.rve, split_len,
                             pad_to_multiple=32)
