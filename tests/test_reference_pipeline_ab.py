@@ -107,3 +107,17 @@ def test_full_pipeline_matches_reference(tmp_path, cfg):
         a = open(f"{ref_out}/{name}", "rb").read()
         b = open(f"{our_out}/{name}", "rb").read()
         assert a == b, f"{name} differs from the reference's bytes"
+
+    # strain.paths: same {(length_cov, node path)} multiset; the A<k>
+    # strain numbers follow extraction order, which is the reference's
+    # hash-history tie (docs/DIVERGENCES.md #1), so strip them
+    def paths_records(p):
+        lines = open(p).read().splitlines()
+        recs = []
+        for i in range(0, len(lines), 2):
+            name = lines[i].split("_", 2)[-1]  # drop NODE_A<k>_
+            recs.append((name, lines[i + 1]))
+        return sorted(recs)
+
+    assert (paths_records(f"{ref_out}/strain.paths")
+            == paths_records(f"{our_out}/strain.paths"))
