@@ -1531,6 +1531,17 @@ def infer_pe_links(ids: Sequence[str], seqs: Sequence[str],
         return PEResult(list(ids), node_mat, short_mat, reads.n_reads,
                         reads.short_reads, reads.used_reads)
 
+    # the exact-integer saturation test needs count*rlen < 2^31, i.e.
+    # rlen <= ~46k; PE reads are hundreds of bp, so fail loud rather
+    # than overflow silently on absurd input
+    max_rl = int(max(reads.fwd_len.max(initial=0),
+                     reads.rve_len.max(initial=0)))
+    if max_rl > 46340:
+        raise ValueError(
+            f"read length {max_rl} exceeds the engine's exact-integer "
+            "saturation range (~46 kb); this engine targets paired-end "
+            "short reads")
+
     # tiny workloads: accelerator compile time (minutes over a
     # remote-compile link) dwarfs any device speedup, so run the same
     # kernels on the host CPU backend instead — identical results.
