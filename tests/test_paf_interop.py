@@ -1,6 +1,8 @@
 """PAF-interop path vs the device hash engine: identical matrices when fed
 equivalent perfect-match alignments."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -57,12 +59,30 @@ def test_paf_matrices_match_engine(tmp_path):
     np.testing.assert_array_equal(sm_paf, res.short_mat)
 
 
-@pytest.mark.skipif(
-    not __import__("shutil").which("minimap2"),
-    reason="minimap2 not on PATH")
-def test_legacy_alignment_matches_hash_engine(tmp_path):
-    """With a real minimap2 installed, the legacy aligner path end-to-end
-    must agree with the hash engine (C12 full parity)."""
+def _aligner_path(tmp_path):
+    """Prefer a real minimap2; otherwise stage tools/fake_minimap2 (an
+    exact-match PAF emitter — semantically complete for the legacy
+    path's perfect-match filter, see its docstring) as `minimap2` on a
+    private PATH entry."""
+    import shutil
+    if shutil.which("minimap2"):
+        return os.environ["PATH"]
+    bindir = tmp_path / "bin"
+    os.makedirs(bindir, exist_ok=True)
+    fake = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools", "fake_minimap2")
+    dst = bindir / "minimap2"
+    shutil.copy(fake, dst)
+    os.chmod(dst, 0o755)
+    return f"{bindir}:{os.environ['PATH']}"
+
+
+def test_legacy_alignment_matches_hash_engine(tmp_path, monkeypatch):
+    """The legacy aligner path end-to-end must agree with the hash
+    engine (C12 full parity). Runs against a real minimap2 when one is
+    on PATH; otherwise against the exact-match PAF emitter, which the
+    legacy path's nm==0 full-length filter makes equivalent."""
+    monkeypatch.setenv("PATH", _aligner_path(tmp_path))
     from vstrains_tpu.evals.paf_interop import run_legacy_alignment
     from tests.test_pe_infer import (_make_batch, _random_refs,
                                      _sample_reads)
@@ -72,10 +92,17 @@ def test_legacy_alignment_matches_hash_engine(tmp_path):
     k = 27  # minimap2 min seed window constraints favor larger k
     refs = _random_refs(rng, 4, [400, 500, 600, 700])
     fwd, rve = _sample_reads(rng, refs, 50, 80, k)
+    # the aligner path assumes pre-filtered pairs (the reference filters
+    # N/short reads before batching, VStrains_Alignment.py:255-270)
+    pairs = [(f, r) for f, r in zip(fwd, rve)
+             if "N" not in f and "N" not in r
+             and len(f) >= k + 1 and len(r) >= k + 1]
     ids = [str(i) for i in range(4)]
     node_mat, short_mat = run_legacy_alignment(
-        ids, refs, list(zip(fwd, rve)), k, str(tmp_path))
-    res = infer_pe_links(ids, refs, _make_batch(fwd, rve, k + 1), k,
-                         batch_size=32)
+        ids, refs, pairs, k, str(tmp_path))
+    res = infer_pe_links(ids, refs,
+                         _make_batch([p[0] for p in pairs],
+                                     [p[1] for p in pairs], k + 1),
+                         k, batch_size=32)
     np.testing.assert_array_equal(node_mat, res.node_mat)
     np.testing.assert_array_equal(short_mat, res.short_mat)
