@@ -39,7 +39,8 @@ class Vertex(int):
         return list(self._g._in[int(self)].values())
 
     def all_edges(self):
-        return self.in_edges() + self.out_edges()
+        # graph-tool order: out-edges then in-edges
+        return self.out_edges() + self.in_edges()
 
     def out_neighbors(self):
         return [self._g.vertex(t) for t in self._g._out[int(self)]]
@@ -180,6 +181,38 @@ class Graph:
     def remove_edge(self, e: Edge):
         self._out[e._s].pop(e._t, None)
         self._in[e._t].pop(e._s, None)
+
+    def remove_vertex(self, v):
+        """graph-tool remove_vertex(fast=False) semantics: the vertex and
+        its incident edges are removed and every vertex index above it is
+        decremented by one; property maps follow their vertices/edges."""
+        i = int(v)
+        # drop incident edges first (mirrors Boost clearing the vertex)
+        for e in list(self._out[i].values()) + list(self._in[i].values()):
+            self.remove_edge(e)
+        del self._out[i]
+        del self._in[i]
+        self._n -= 1
+
+        def _shift(j):
+            return j - 1 if j > i else j
+
+        # each Edge object is shared between _out[s] and _in[t]: shift
+        # its endpoints exactly once, then rebuild the adjacency keys
+        for adj in self._out:
+            for e in adj.values():
+                e._s = _shift(e._s)
+                e._t = _shift(e._t)
+        for adj_list in (self._out, self._in):
+            for k, adj in enumerate(adj_list):
+                adj_list[k] = {_shift(j): e for j, e in adj.items()}
+        for pmap in self.vp._maps.values():
+            pmap._vals = {_shift(k): val
+                          for k, val in pmap._vals.items() if k != i}
+        for pmap in self.ep._maps.values():
+            pmap._vals = {(_shift(s), _shift(t)): val
+                          for (s, t), val in pmap._vals.items()
+                          if s != i and t != i}
 
     def vertices(self):
         return [Vertex(i, self) for i in range(self._n)]

@@ -482,6 +482,28 @@ def test_heavy_repeat_graph_beyond_sortfill_packing():
     np.testing.assert_array_equal(res.short_mat, sm)
 
 
+def test_explicit_sortfill_beyond_packing_falls_back():
+    """probe_mode='sortfill' requested EXPLICITLY on a graph beyond the
+    payload packing cap (max_dup > 16) must apply the same guards as the
+    auto-upgrade path — previously it truncated duplicate ranks and
+    returned silently wrong matrices (advisor finding, round 2)."""
+    import vstrains_tpu.ops.pe_infer as P
+    rng = np.random.RandomState(41)
+    k = 11
+    motif = _random_refs(rng, 1, [30])[0]
+    refs = [motif + _random_refs(rng, 1, [50])[0] for _ in range(24)]
+    table = build_kmer_table(refs, k + 1)
+    assert table.max_dup > P._SORTFILL_MAX_DUP
+    fwd, rve = _sample_reads(rng, refs, 80, 30, k)
+    batch = _make_batch(fwd, rve, k + 1)
+    ids = [str(i) for i in range(len(refs))]
+    res = infer_pe_links(ids, refs, batch, k, batch_size=64,
+                         probe_mode="sortfill")
+    nm, sm, *_ = oracle_pe_matrices(refs, fwd, rve, k)
+    np.testing.assert_array_equal(res.node_mat, nm)
+    np.testing.assert_array_equal(res.short_mat, sm)
+
+
 def test_length_buckets_plan():
     from vstrains_tpu.ops.pe_infer import _length_buckets
     rng = np.random.RandomState(5)

@@ -220,7 +220,8 @@ def balance_split(view: GraphView, contig_dict: dict, pe_info: dict,
 
         if not (all(u == 1 for u in in_taken.values())
                 and all(v == 1 for v in out_taken.values())):
-            logger.debug("->Not satisfy N-N split, skip: %s", accepted_links)
+            logger.debug("branch usage is not a perfect 1-1 matching; "
+                         "skipping split: %s", accepted_links)
             continue
         worst_pair_diff = max(abs(in_capacity[uid] - out_capacity[wid])
                               for (uid, wid) in accepted_links.keys())
@@ -229,7 +230,8 @@ def balance_split(view: GraphView, contig_dict: dict, pe_info: dict,
                          "uneven, skip: %s", worst_pair_diff, 4 * threshold,
                          accepted_links)
             continue
-        logger.debug("->perform split, all kept links: %s", accepted_links)
+        logger.debug("splitting branch; accepted link set: %s",
+                     accepted_links)
         if scorer is not None:
             scorer.score_branch(view, no, us, ws, accepted_links)
 

@@ -15,8 +15,11 @@ README calls out as the v1.1 speedup):
                fill propagates each query's matching run, and one
                contiguous row gather fetches all duplicate ranks
                (binary search, direct-address lookup, and the classic
-               positional join are kept as cross-check probes; all
-               produce identical matrices);
+               positional join are kept as cross-check probes; all have
+               produced identical matrices on every tested dataset —
+               equal up to the documented dual-hash approximation, since
+               sortfill verifies 31-node_bits secondary-hash bits where
+               the others verify 32; see docs/DIVERGENCES.md #12);
             3. per-(read, node) stats — hit count and min read k-index —
                through the shape-picked accumulator (XLA one-hot /
                VMEM-resident Pallas / scatter; sparse row-sort above
@@ -1466,6 +1469,7 @@ def infer_pe_links(ids: Sequence[str], seqs: Sequence[str],
                    batch_size: int = 16384,
                    probe_mode: str = "sort",
                    stats_mode: str = "auto",
+                   force_backend: bool = False,
                    logger: logging.Logger = None):
     """End-to-end PE-link inference for pre-loaded reads.
 
@@ -1545,11 +1549,15 @@ def infer_pe_links(ids: Sequence[str], seqs: Sequence[str],
     # tiny workloads: accelerator compile time (minutes over a
     # remote-compile link) dwarfs any device speedup, so run the same
     # kernels on the host CPU backend instead — identical results.
-    # VSTRAINS_FORCE_BACKEND=tpu (or =any value) disables the fallback.
+    # force_backend=True (or VSTRAINS_FORCE_BACKEND=any value in the
+    # environment) disables the fallback; callers that need the
+    # accelerator from a background thread (compile prefetch) must use
+    # the argument — mutating the env var races other threads.
     import os as _os
     small = reads.num_pairs <= 65536
     restore_dev = _sentinel = object()
     if (small and jax.default_backend() != "cpu"
+            and not force_backend
             and not _os.environ.get("VSTRAINS_FORCE_BACKEND")):
         try:
             cpu_dev = jax.devices("cpu")[0]
@@ -1597,9 +1605,21 @@ def infer_pe_links(ids: Sequence[str], seqs: Sequence[str],
             # the one-hot accumulator at small N*C, the VMEM-resident
             # Pallas accumulator up to N=4096 on TPU, scatter on CPU.
             node_bits = _sortfill_node_bits(N)
-            if (probe == "sort" and node_bits is not None
-                    and table.max_dup <= _SORTFILL_MAX_DUP):
+            sortfill_ok = (node_bits is not None
+                           and table.max_dup <= _SORTFILL_MAX_DUP)
+            if probe == "sort" and sortfill_ok:
                 probe = "sortfill"
+            elif probe == "sortfill" and not sortfill_ok:
+                # an explicit sortfill request must obey the same packing
+                # limits as the auto-upgrade: beyond them the payload
+                # packer would silently truncate duplicate ranks
+                # (max_dup > cap) or crash (node_bits is None)
+                logger.warning(
+                    "probe_mode=sortfill unsupported here (N=%d, "
+                    "max_dup=%d > %d or id overflow); using the classic "
+                    "sort join instead", N, table.max_dup,
+                    _SORTFILL_MAX_DUP)
+                probe = "sort"
             elif probe == "sortjoin":
                 probe = "sort"
             probe_kw = dict(stats_impl=stats_impl, probe=probe)

@@ -97,8 +97,14 @@ def _prefetch_pe_compile(ids, seqs, ksize, batch_size, fwd_path, logger):
         if width < ksize + 1:
             return
         # ~ bytes per FASTQ record pair; under the fallback threshold
-        # the accelerator is never used, so there is nothing to warm
-        est_pairs = _os.path.getsize(fwd_path) // max(2 * width + 40, 1)
+        # the accelerator is never used, so there is nothing to warm.
+        # gzip FASTQ compresses roughly 3-4x — scale the raw byte count
+        # so gzipped libraries over the threshold still get the warm-up
+        # (over-estimating only costs a wasted background compile)
+        fsize = _os.path.getsize(fwd_path)
+        if fwd_path.endswith(".gz"):
+            fsize *= 4
+        est_pairs = fsize // max(2 * width + 40, 1)
         if est_pairs <= 65536:
             return
         T = -(-width // 32) * 32
@@ -109,17 +115,11 @@ def _prefetch_pe_compile(ids, seqs, ksize, batch_size, fwd_path, logger):
         quiet = logging.getLogger("vstrains_tpu.pe_prefetch")
         quiet.setLevel(logging.WARNING)
         # the warm batch is itself under the tiny-workload CPU-fallback
-        # threshold — force the accelerator for just this call
-        prev = _os.environ.get("VSTRAINS_FORCE_BACKEND")
-        _os.environ["VSTRAINS_FORCE_BACKEND"] = "prefetch"
-        try:
-            infer_pe_links(ids, seqs, warm, ksize,
-                           batch_size=batch_size, logger=quiet)
-        finally:
-            if prev is None:
-                _os.environ.pop("VSTRAINS_FORCE_BACKEND", None)
-            else:
-                _os.environ["VSTRAINS_FORCE_BACKEND"] = prev
+        # threshold — force the accelerator for just this call via the
+        # function argument (this runs on a daemon thread; mutating the
+        # process-global env var would race the main thread's real call)
+        infer_pe_links(ids, seqs, warm, ksize, batch_size=batch_size,
+                       force_backend=True, logger=quiet)
         logger.debug("PE kernel compile prefetched (width %d)", width)
     except Exception as exc:  # never fail the pipeline from here
         logger.debug("PE compile prefetch skipped: %s", exc)
