@@ -20,7 +20,21 @@ reference's greedy passes consume.
 from __future__ import annotations
 
 import copy as _copy
+import os as _os
 from typing import Dict, List, Optional
+
+# Test hook: VSTRAINS_SHIM_PERTURB=reverse_adjacency reverses every
+# adjacency iteration order (out/in edges and neighbours). Used by the
+# perturbation A/B test to demonstrate that reference-vs-vstrains_tpu
+# conclusions do not hinge on one incidental shim ordering.
+_PERTURB = _os.environ.get("VSTRAINS_SHIM_PERTURB", "")
+
+
+def _adj_order(vals):
+    vals = list(vals)
+    if _PERTURB == "reverse_adjacency":
+        vals.reverse()
+    return vals
 
 
 class Vertex(int):
@@ -33,20 +47,22 @@ class Vertex(int):
         return v
 
     def out_edges(self):
-        return list(self._g._out[int(self)].values())
+        return _adj_order(self._g._out[int(self)].values())
 
     def in_edges(self):
-        return list(self._g._in[int(self)].values())
+        return _adj_order(self._g._in[int(self)].values())
 
     def all_edges(self):
         # graph-tool order: out-edges then in-edges
         return self.out_edges() + self.in_edges()
 
     def out_neighbors(self):
-        return [self._g.vertex(t) for t in self._g._out[int(self)]]
+        return [self._g.vertex(t)
+                for t in _adj_order(self._g._out[int(self)])]
 
     def in_neighbors(self):
-        return [self._g.vertex(s) for s in self._g._in[int(self)]]
+        return [self._g.vertex(s)
+                for s in _adj_order(self._g._in[int(self)])]
 
     def out_degree(self):
         return len(self._g._out[int(self)])
@@ -234,9 +250,19 @@ class Graph:
         g._n = self._n
         g._out = [{} for _ in range(self._n)]
         g._in = [{} for _ in range(self._n)]
-        for adj in self._out:
-            for e in adj.values():
-                g.add_edge(e._s, e._t)
+        # rebuild the out- and in-adjacency dicts INDEPENDENTLY so both
+        # keep their own insertion orders (re-adding edges out-list-wise
+        # would rewrite every in-list in out order — caught by the
+        # property tests against the Boost order model)
+        emap = {}
+        for s, adj in enumerate(self._out):
+            for t, _ in adj.items():
+                e = Edge(g, s, t)
+                emap[(s, t)] = e
+                g._out[s][t] = e
+        for t, adj in enumerate(self._in):
+            for s in adj:
+                g._in[t][s] = emap[(s, t)]
         for ns_src, ns_dst in ((self.vp, g.vp), (self.ep, g.ep)):
             for name, pmap in ns_src._maps.items():
                 np_ = PropertyMap(pmap._default)

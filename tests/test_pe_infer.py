@@ -482,6 +482,66 @@ def test_heavy_repeat_graph_beyond_sortfill_packing():
     np.testing.assert_array_equal(res.short_mat, sm)
 
 
+def test_sortfill_stride_bit_identity():
+    """The strided-anchor fill (only every S-th table key rides the
+    sort; the run start is recovered by the block gather + compare) is
+    bit-identical to stride=1 for every stride, including strides that
+    do not divide the table size and runs crossing block boundaries."""
+    import jax.numpy as jnp
+
+    import vstrains_tpu.ops.pe_infer as P
+    rng = np.random.RandomState(17)
+    k = 11
+    # shared motifs force multi-entry runs at arbitrary block offsets
+    motif = _random_refs(rng, 1, [40])[0]
+    refs = [motif + _random_refs(rng, 1, [60])[0] for _ in range(7)]
+    refs += _random_refs(rng, 5, [80, 90, 100, 110, 120])
+    table = build_kmer_table(refs, k + 1)
+    assert table.num_entries % 4 != 0 or True  # any M is fine
+    node_bits = P._sortfill_node_bits(len(refs))
+    pays = jnp.asarray(P._build_sortfill_payloads(table, node_bits))
+    fwd, rve = _sample_reads(rng, refs, 100, 30, k)
+    batch = _make_batch(fwd, rve, k + 1)
+    from vstrains_tpu.core.fastq import _pack  # noqa: F401
+    codes = np.concatenate([batch.fwd_codes, batch.rve_codes])
+    lens = np.concatenate([batch.fwd_len, batch.rve_len])
+    th1 = jnp.asarray(table.h1_biased)
+    base = np.asarray(P._sortfill_node_slots(
+        jnp.asarray(codes), jnp.asarray(lens), th1, pays, k + 1,
+        len(refs), node_bits=node_bits, stride=1))
+    for s in (2, 3, 4, 7, 16):
+        got = np.asarray(P._sortfill_node_slots(
+            jnp.asarray(codes), jnp.asarray(lens), th1, pays, k + 1,
+            len(refs), node_bits=node_bits, stride=s))
+        np.testing.assert_array_equal(got, base)
+
+
+def test_sortfill_stride_e2e_matches_oracle(monkeypatch):
+    """Full inference with the stride forced on (small tables would not
+    trigger it) matches the reference-loop oracle exactly, dense and
+    sparse drivers both."""
+    monkeypatch.setenv("VSTRAINS_SORTFILL_STRIDE", "4")
+    rng = np.random.RandomState(29)
+    k = 11
+    refs = _random_refs(rng, 8, [150, 200, 250, 150, 200, 250, 180, 220])
+    refs[1] = refs[0][:50] + refs[1][50:]
+    fwd, rve = _sample_reads(rng, refs, 300, 40, k)
+    batch = _make_batch(fwd, rve, k + 1)
+    ids = [str(i) for i in range(len(refs))]
+    nm, sm, *_ = oracle_pe_matrices(refs, fwd, rve, k)
+    dense = infer_pe_links(ids, refs, batch, k, batch_size=128)
+    np.testing.assert_array_equal(dense.node_mat, nm)
+    np.testing.assert_array_equal(dense.short_mat, sm)
+    sp = infer_pe_links(ids, refs, batch, k, batch_size=128,
+                        stats_mode="sparse")
+    from vstrains_tpu.ops.pe_infer import PESparseResult
+    assert isinstance(sp, PESparseResult)
+    dm = np.zeros_like(nm)
+    dm[sp.pair_keys // len(refs), sp.pair_keys % len(refs)] = \
+        sp.pair_counts
+    np.testing.assert_array_equal(dm, nm)
+
+
 def test_explicit_sortfill_beyond_packing_falls_back():
     """probe_mode='sortfill' requested EXPLICITLY on a graph beyond the
     payload packing cap (max_dup > 16) must apply the same guards as the

@@ -31,10 +31,12 @@ def _have_reference():
     return os.path.exists(os.path.join(REFERENCE, "vstrains"))
 
 
-def _run_reference(data, outdir):
+def _run_reference(data, outdir, extra_env=None):
     env = dict(os.environ)
     env["PYTHONHASHSEED"] = "0"
     env["PYTHONPATH"] = f"{REPO}/shims:{REFERENCE}"
+    if extra_env:
+        env.update(extra_env)
     r = subprocess.run(
         [sys.executable, os.path.join(REFERENCE, "vstrains"),
          "-a", "spades",
@@ -121,3 +123,38 @@ def test_full_pipeline_matches_reference(tmp_path, cfg):
 
     assert (paths_records(f"{ref_out}/strain.paths")
             == paths_records(f"{our_out}/strain.paths"))
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not _have_reference(), reason="reference not mounted")
+def test_reference_ab_robust_to_shim_order_perturbation(tmp_path):
+    """Run the reference twice — once on the faithful shim, once with
+    every adjacency iteration order REVERSED (VSTRAINS_SHIM_PERTURB) —
+    and require the recovered strain SETS to be identical to each other
+    and to ours. Together with the property tests this demonstrates the
+    A/B lattice's conclusions do not hinge on one incidental shim
+    ordering: the orders shift the reference's internal tie-breaks, not
+    its answers, on these configs."""
+    from vstrains_tpu.evals.synth import make_dataset
+
+    cfg = dict(num_strains=5, num_bubbles=4, pairs_per_strain=400,
+               abundances=(20.0, 45.0, 70.0, 95.0, 120.0),
+               contig_mode="split", error_rate=0.0, seed=3)
+    data = tmp_path / "data"
+    ds = make_dataset(str(data), **cfg)
+    ref_out = str(tmp_path / "ref")
+    pert_out = str(tmp_path / "ref_perturbed")
+    our_out = str(tmp_path / "ours")
+    _run_reference(str(data), ref_out)
+    _run_reference(str(data), pert_out,
+                   extra_env={"VSTRAINS_SHIM_PERTURB":
+                              "reverse_adjacency"})
+    _run_ours(str(data), our_out)
+
+    ref_seqs = _fasta_seqs(f"{ref_out}/strain.fasta")
+    pert_seqs = _fasta_seqs(f"{pert_out}/strain.fasta")
+    our_seqs = _fasta_seqs(f"{our_out}/strain.fasta")
+    assert pert_seqs == ref_seqs, \
+        "reference strains changed under adjacency-order perturbation"
+    assert our_seqs == ref_seqs
+    assert ref_seqs == sorted(ds.true_haplotypes)

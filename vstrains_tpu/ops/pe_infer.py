@@ -687,6 +687,20 @@ def _pair_matmuls_jit(f, r, num_nodes: int):
 
 _SORTFILL_MAX_NODE_BITS = 18
 _SORTFILL_MAX_DUP = 16
+# subsample the table keys riding the per-batch sort once the table is
+# large enough for the saved sort volume to beat the extra block gather
+# (outputs identical at any stride — pure perf tuning)
+_SORTFILL_STRIDE = 4
+_SORTFILL_STRIDE_MIN_TABLE = 2_000_000
+
+
+def _sortfill_stride(num_entries: int) -> int:
+    import os
+    forced = os.environ.get("VSTRAINS_SORTFILL_STRIDE")
+    if forced:
+        return max(1, int(forced))
+    return (_SORTFILL_STRIDE
+            if num_entries >= _SORTFILL_STRIDE_MIN_TABLE else 1)
 
 
 def _sortfill_node_bits(num_nodes: int):
@@ -735,7 +749,7 @@ def _build_sortfill_payloads(table: "KmerTable", node_bits: int = 9):
 
 def _sortfill_node_slots(codes, lens, tab_h1, pays, split_len: int,
                          num_nodes: int, fill: str = "cummin",
-                         node_bits: int = 9):
+                         node_bits: int = 9, stride: int = 1):
     """Probe + per-slot matched node ids without a full-table gather.
 
     Returns node_t int32 [B, K*D] (k-major slots, sentinel num_nodes for
@@ -753,14 +767,22 @@ def _sortfill_node_slots(codes, lens, tab_h1, pays, split_len: int,
         position is just a reverse cummin of the row number (and its key
         a reverse cummin of the masked key). Payloads then come from D
         small gathers indexed by table row. Two primitive cumulative
-        ops compile in seconds."""
+        ops compile in seconds.
+
+    stride > 1 (cummin only) subsamples the table keys riding the sort:
+    only every stride-th entry (each S-block's LAST key) is an anchor.
+    A matching run starting at i* has h1[i*-1] < q strictly, so the
+    nearest anchor at-or-after a query is always floor(i*/S) — the run
+    start is recovered by one contiguous (B, K, S) block gather +
+    compare. At metaSPAdes scale the table dominates the sorted keys
+    (14.5M of 17.6M at N=50k), so S=4 cuts the per-batch sort ~62% for
+    one extra block-row gather; outputs are bit-identical for any
+    stride (the same matches are found)."""
     h1q, h2q, valid = _device_window_hashes(codes, lens, split_len)
     B, K = h1q.shape
     q1f = (h1q ^ jnp.uint32(0x80000000)).astype(jnp.int32).ravel()
     Q = q1f.shape[0]
     M = tab_h1.shape[0]
-    key = jnp.concatenate([q1f, tab_h1])
-    iota = jax.lax.iota(jnp.int32, Q + M)
     h2_bits = 31 - node_bits
     h2_mask = jnp.int32((1 << h2_bits) - 1)
     node_mask = jnp.int32((1 << node_bits) - 1)
@@ -768,16 +790,46 @@ def _sortfill_node_slots(codes, lens, tab_h1, pays, split_len: int,
 
     D = pays.shape[1]
     if fill == "cummin":
-        skey, siota = jax.lax.sort((key, iota), num_keys=1,
-                                   is_stable=True)
-        row = jnp.where(siota >= Q, siota - Q, M)
-        ti = jax.lax.cummin(row, axis=0, reverse=True)
-        tkey = jnp.where(siota >= Q, skey, _INF)
-        fkey = jax.lax.cummin(tkey, axis=0, reverse=True)
-        okk = (ti < M) & (fkey == skey) & (siota < Q)
-        qpos = jnp.where(siota < Q, siota, Q)
-        ti_q = jnp.full(Q, M, jnp.int32).at[qpos].set(
-            jnp.where(okk, ti, M), mode="drop").reshape(B, K)
+        if stride > 1:
+            S = stride
+            M_S = -(-M // S)
+            # pad to a full block grid; _INF padding sorts last and any
+            # false block-compare hit lands on a payload row >= M, which
+            # the fill-value-0 pays gather turns into a miss (no tag bit)
+            blocked = jnp.concatenate(
+                [tab_h1, jnp.full(M_S * S - M, _INF, jnp.int32)]
+            ).reshape(M_S, S)
+            anchors = blocked[:, S - 1]
+            key = jnp.concatenate([q1f, anchors])
+            iota = jax.lax.iota(jnp.int32, Q + M_S)
+            skey, siota = jax.lax.sort((key, iota), num_keys=1,
+                                       is_stable=True)
+            arow = jnp.where(siota >= Q, siota - Q, M_S)
+            ta = jax.lax.cummin(arow, axis=0, reverse=True)
+            qpos = jnp.where(siota < Q, siota, Q)
+            ta_q = jnp.full(Q, M_S, jnp.int32).at[qpos].set(
+                jnp.where(siota < Q, ta, M_S),
+                mode="drop").reshape(B, K)
+            h1_blk = jnp.take(blocked, ta_q, axis=0, mode="fill",
+                              fill_value=_INF)             # (B, K, S)
+            q3 = q1f.reshape(B, K)[:, :, None]
+            mm = h1_blk == q3
+            sidx = jax.lax.broadcasted_iota(jnp.int32, (B, K, S), 2)
+            p = jnp.where(mm, sidx, S).min(axis=2)
+            ti_q = jnp.where(p < S, ta_q * S + p, M)
+        else:
+            key = jnp.concatenate([q1f, tab_h1])
+            iota = jax.lax.iota(jnp.int32, Q + M)
+            skey, siota = jax.lax.sort((key, iota), num_keys=1,
+                                       is_stable=True)
+            row = jnp.where(siota >= Q, siota - Q, M)
+            ti = jax.lax.cummin(row, axis=0, reverse=True)
+            tkey = jnp.where(siota >= Q, skey, _INF)
+            fkey = jax.lax.cummin(tkey, axis=0, reverse=True)
+            okk = (ti < M) & (fkey == skey) & (siota < Q)
+            qpos = jnp.where(siota < Q, siota, Q)
+            ti_q = jnp.full(Q, M, jnp.int32).at[qpos].set(
+                jnp.where(okk, ti, M), mode="drop").reshape(B, K)
         # all D duplicate ranks of an entry in one contiguous row gather
         outp = jnp.take(pays, ti_q, axis=0, mode="fill",
                         fill_value=0)                      # (B, K, D)
@@ -786,6 +838,8 @@ def _sortfill_node_slots(codes, lens, tab_h1, pays, split_len: int,
         return jnp.where(m, outp & node_mask,
                          num_nodes).reshape(B, K * D)
 
+    key = jnp.concatenate([q1f, tab_h1])
+    iota = jax.lax.iota(jnp.int32, Q + M)
     zq = jnp.zeros(Q, jnp.int32)
     ops = (key, iota) + tuple(jnp.concatenate([zq, pays[:, d]])
                               for d in range(D))
@@ -948,10 +1002,11 @@ def _sparse_sat_tail(node_key, kidx_v, lens, seq_lens, split_len: int,
 
 def _sparse_sortfill_core(codes, lens, tab_h1, seq_lens, pays,
                           split_len: int, depth: int, cap: int,
-                          num_nodes: int, fill: str, node_bits: int):
+                          num_nodes: int, fill: str, node_bits: int,
+                          stride: int = 1):
     node_t = _sortfill_node_slots(codes, lens, tab_h1, pays, split_len,
                                   num_nodes, fill=fill,
-                                  node_bits=node_bits)
+                                  node_bits=node_bits, stride=stride)
     B2, R = node_t.shape
     matched = node_t < num_nodes
     node_key = jnp.where(matched, node_t, _INF)
@@ -963,10 +1018,11 @@ def _sparse_sortfill_core(codes, lens, tab_h1, seq_lens, pays,
 
 @partial(jax.jit,
          static_argnames=("split_len", "depth", "cap", "num_nodes",
-                          "fill", "node_bits"))
+                          "fill", "node_bits", "stride"))
 def _stats_sparse_sortfill(fc, fl, rc, rl, tab_h1, seq_lens, pays,
                            split_len: int, depth: int, cap: int,
-                           num_nodes: int, fill: str, node_bits: int):
+                           num_nodes: int, fill: str, node_bits: int,
+                           stride: int = 1):
     """Sparse saturated-node lists via the packed-payload probe: the
     whole per-batch pipeline (stack, hash, sortfill join, row-sort
     stats, saturation, compaction) in ONE dispatch, with no table
@@ -976,21 +1032,21 @@ def _stats_sparse_sortfill(fc, fl, rc, rl, tab_h1, seq_lens, pays,
     codes, lens = _stack_ends(fc, fl, rc, rl)
     return _sparse_sortfill_core(codes, lens, tab_h1, seq_lens, pays,
                                  split_len, depth, cap, num_nodes, fill,
-                                 node_bits)
+                                 node_bits, stride)
 
 
 @partial(jax.jit,
          static_argnames=("T", "split_len", "depth", "cap", "num_nodes",
-                          "fill", "node_bits"))
+                          "fill", "node_bits", "stride"))
 def _stats_sparse_sortfill_wire(wire, tab_h1, seq_lens, pays, T: int,
                                 split_len: int, depth: int, cap: int,
                                 num_nodes: int, fill: str,
-                                node_bits: int):
+                                node_bits: int, stride: int = 1):
     """_stats_sparse_sortfill fed by the compact wire format."""
     codes, lens = _unpack_wire(wire, T)
     return _sparse_sortfill_core(codes, lens, tab_h1, seq_lens, pays,
                                  split_len, depth, cap, num_nodes, fill,
-                                 node_bits)
+                                 node_bits, stride)
 
 
 def _sparse_pairs_np(f_nodes: np.ndarray, r_nodes: np.ndarray, N: int):
@@ -1175,7 +1231,7 @@ def _stats_from_impl(q1, h2qi, valid, lo, tab_h1, tab_h2, tab_node,
 @partial(jax.jit,
          static_argnames=("split_len", "max_dup", "num_nodes",
                           "stats_impl", "probe", "shift", "probe_depth",
-                          "fill", "node_bits"),
+                          "fill", "node_bits", "stride"),
          donate_argnums=(4, 5))
 def _pe_batch_fused(fc, fl, rc, rl, acc_nm, acc_sm, tab_h1, tab_h2,
                     tab_node, seq_lens, bucket_starts,
@@ -1183,7 +1239,7 @@ def _pe_batch_fused(fc, fl, rc, rl, acc_nm, acc_sm, tab_h1, tab_h2,
                     num_nodes: int, stats_impl: str = "scatter",
                     probe: str = "sort", shift: int = 32,
                     probe_depth: int = 1, pays=(), fill: str = "cummin",
-                    node_bits: int = 9):
+                    node_bits: int = 9, stride: int = 1):
     """The whole per-batch pipeline — stack ends, hash, sort-merge join,
     duplicate-scan stats, saturation, pair matmuls, accumulate — as ONE
     jitted computation with donated accumulators.
@@ -1203,19 +1259,19 @@ def _pe_batch_fused(fc, fl, rc, rl, acc_nm, acc_sm, tab_h1, tab_h2,
     return _pe_batch_core(codes, lens, acc_nm, acc_sm, tab_h1, tab_h2,
                           tab_node, seq_lens, bucket_starts, split_len,
                           max_dup, num_nodes, stats_impl, probe, shift,
-                          probe_depth, pays, fill, node_bits)
+                          probe_depth, pays, fill, node_bits, stride)
 
 
 def _pe_batch_core(codes, lens, acc_nm, acc_sm, tab_h1, tab_h2,
                    tab_node, seq_lens, bucket_starts, split_len, max_dup,
                    num_nodes, stats_impl, probe, shift, probe_depth,
-                   pays, fill, node_bits):
+                   pays, fill, node_bits, stride=1):
     """Probe + stats + saturation + pair matmuls on a stacked (2B, T)
     end-batch (shared by the byte-wire and packed-wire entry points)."""
     if probe == "sortfill":
         node_t = _sortfill_node_slots(codes, lens, tab_h1, pays,
                                       split_len, num_nodes, fill=fill,
-                                      node_bits=node_bits)
+                                      node_bits=node_bits, stride=stride)
         depth = pays.shape[1]
         if stats_impl == "pallas":
             from vstrains_tpu.ops.pallas_kernels import stats_accum_pallas
@@ -1309,7 +1365,7 @@ def _unpack_wire(wire, T: int):
 @partial(jax.jit,
          static_argnames=("T", "split_len", "max_dup", "num_nodes",
                           "stats_impl", "probe", "shift", "probe_depth",
-                          "fill", "node_bits"),
+                          "fill", "node_bits", "stride"),
          donate_argnums=(1, 2))
 def _pe_batch_fused_wire(wire, acc_nm, acc_sm, tab_h1, tab_h2,
                          tab_node, seq_lens, bucket_starts, T: int,
@@ -1317,14 +1373,15 @@ def _pe_batch_fused_wire(wire, acc_nm, acc_sm, tab_h1, tab_h2,
                          num_nodes: int, stats_impl: str = "scatter",
                          probe: str = "sort", shift: int = 32,
                          probe_depth: int = 1, pays=(),
-                         fill: str = "cummin", node_bits: int = 9):
+                         fill: str = "cummin", node_bits: int = 9,
+                         stride: int = 1):
     """_pe_batch_fused fed by the compact wire format: unpack on device,
     then the shared core."""
     codes, lens = _unpack_wire(wire, T)
     return _pe_batch_core(codes, lens, acc_nm, acc_sm, tab_h1, tab_h2,
                           tab_node, seq_lens, bucket_starts, split_len,
                           max_dup, num_nodes, stats_impl, probe, shift,
-                          probe_depth, pays, fill, node_bits)
+                          probe_depth, pays, fill, node_bits, stride)
 
 
 def _pe_batch_kernel(fwd_codes, fwd_len, rve_codes, rve_len,
@@ -1629,6 +1686,9 @@ def infer_pe_links(ids: Sequence[str], seqs: Sequence[str],
                 probe_kw["node_bits"] = node_bits
                 probe_kw["fill"] = _os.environ.get(
                     "VSTRAINS_SORTFILL_FILL", "cummin")
+                probe_kw["stride"] = (
+                    _sortfill_stride(table.num_entries)
+                    if probe_kw["fill"] == "cummin" else 1)
             elif probe == "lookup":
                 probe_kw.update(shift=table.bucket_shift,
                                 probe_depth=table.scan_depth)
@@ -1742,9 +1802,12 @@ def _infer_pe_links_sparse(ids, table: KmerTable, reads: ReadPairBatch,
     if sortfill:
         import os as _os
         fill = _os.environ.get("VSTRAINS_SORTFILL_FILL", "cummin")
+        stride = (_sortfill_stride(table.num_entries)
+                  if fill == "cummin" else 1)
         pays = jnp.asarray(_build_sortfill_payloads(table, node_bits))
         logger.info("sparse probe: sortfill (node_bits=%d, h2 check %d "
-                    "bits)", node_bits, 31 - node_bits)
+                    "bits, table stride %d)", node_bits,
+                    31 - node_bits, stride)
 
     # clamp by the sparse path's own footprint: ~8 live (2B, K*depth)
     # int32 planes through sort + scans
@@ -1799,13 +1862,13 @@ def _infer_pe_links_sparse(ids, table: KmerTable, reads: ReadPairBatch,
                     payload, tab_h1, seq_lens, pays, T=Tr,
                     split_len=split_len, depth=int(pays.shape[1]),
                     cap=cap, num_nodes=N, fill=fill,
-                    node_bits=node_bits)
+                    node_bits=node_bits, stride=stride)
             else:
                 sat_nodes, ovf = _stats_sparse_sortfill(
                     *payload, tab_h1, seq_lens, pays,
                     split_len=split_len, depth=int(pays.shape[1]),
                     cap=cap, num_nodes=N, fill=fill,
-                    node_bits=node_bits)
+                    node_bits=node_bits, stride=stride)
         else:
             fc, fl, rc, rl = payload
             codes, lens = _stack_ends(fc, fl, rc, rl)
