@@ -127,6 +127,42 @@ def test_full_pipeline_matches_reference(tmp_path, cfg):
 
 @pytest.mark.slow
 @pytest.mark.skipif(not _have_reference(), reason="reference not mounted")
+def test_reference_ab_under_full_error_model(tmp_path):
+    """Indels + N-runs + degrading quality, quality-trimmed, fed to BOTH
+    engines: strain sets equal (and equal to truth), pe_info/st_info and
+    split_graph_final.gfa byte-identical — the A/B lattice extended to
+    realistic read pathology (VERDICT r2 item 6)."""
+    from vstrains_tpu.evals.sampling import quality_trim
+    from vstrains_tpu.evals.synth import make_dataset
+
+    data = tmp_path / "data"
+    ds = make_dataset(str(data), num_strains=3, num_bubbles=3,
+                      pairs_per_strain=700,
+                      abundances=(40.0, 70.0, 100.0),
+                      contig_mode="split", read_len=80,
+                      error_rate=0.004, indel_rate=0.001, n_rate=0.002,
+                      quality_model="degrading", seed=21)
+    # in-place is safe: quality_trim reads both inputs fully before
+    # opening its outputs
+    quality_trim(ds.fwd_path, ds.rve_path,
+                 f"{data}/reads_1.fastq", f"{data}/reads_2.fastq")
+    ref_out = str(tmp_path / "ref")
+    our_out = str(tmp_path / "ours")
+    _run_reference(str(data), ref_out)
+    _run_ours(str(data), our_out)
+    ref_seqs = _fasta_seqs(f"{ref_out}/strain.fasta")
+    our_seqs = _fasta_seqs(f"{our_out}/strain.fasta")
+    assert ref_seqs == our_seqs
+    assert ref_seqs == sorted(ds.true_haplotypes)
+    for name in ("aln/pe_info", "aln/st_info",
+                 "gfa/split_graph_final.gfa"):
+        a = open(f"{ref_out}/{name}", "rb").read()
+        b = open(f"{our_out}/{name}", "rb").read()
+        assert a == b, f"{name} differs from the reference's bytes"
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not _have_reference(), reason="reference not mounted")
 def test_reference_ab_robust_to_shim_order_perturbation(tmp_path):
     """Run the reference twice — once on the faithful shim, once with
     every adjacency iteration order REVERSED (VSTRAINS_SHIM_PERTURB) —

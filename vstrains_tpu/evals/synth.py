@@ -50,6 +50,9 @@ def make_dataset(out_dir: str,
                  abundances: Tuple[float, ...] = None,
                  contig_mode: str = "full",
                  error_rate: float = 0.0,
+                 indel_rate: float = 0.0,
+                 n_rate: float = 0.0,
+                 quality_model: str = "uniform",
                  seed: int = 0) -> SynthDataset:
     """Create GFA + contigs.paths + paired FASTQ under out_dir.
 
@@ -61,6 +64,23 @@ def make_dataset(out_dir: str,
     contig_mode: 'full' emits one contig per strain covering its whole
     path; 'split' emits per-bubble fragments (anchor, variant, anchor) to
     exercise disentanglement + extension harder.
+
+    Read error model (all off by default for the clean golden tests):
+      error_rate  — per-base substitution probability;
+      indel_rate  — per-base insertion/deletion probability (split
+                    evenly; reads stay fixed-length by consuming extra
+                    template on deletion / clipping on insertion, like a
+                    fixed-cycle sequencer);
+      n_rate      — per-base no-call probability ('N', quality '#');
+                    occasionally emitted as short runs like real basecall
+                    dropouts (the reference discards any read containing
+                    N — PE_Inference.py:158-163);
+      quality_model — 'uniform' writes flat 'I' quality; 'degrading'
+                    scales all error rates up toward the 3' end
+                    (Illumina-style) and writes Phred+33 qualities that
+                    track the actual per-position error probability, so
+                    quality-driven trimming (evals.sampling.quality_trim)
+                    has real signal to work with.
     """
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.RandomState(seed)
@@ -167,32 +187,105 @@ def make_dataset(out_dir: str,
     # ---- paired-end reads ----
     fwd_path = os.path.join(out_dir, "reads_1.fastq")
     rve_path = os.path.join(out_dir, "reads_2.fastq")
-    qual = "I" * read_len
+    flat_qual = "I" * read_len
+    noisy = error_rate > 0 or indel_rate > 0 or n_rate > 0
+    # 'degrading' multiplies the error rates by 0.4..3.2 from 5' to 3'
+    # (a mild Illumina-shaped curve) and writes matching Phred+33 quals
+    pos_mult = np.ones(read_len)
+    if quality_model == "degrading":
+        pos_mult = 0.4 + 2.8 * (np.arange(read_len) / max(read_len - 1,
+                                                          1)) ** 2
 
-    def mutate(seq: str) -> str:
-        if error_rate <= 0:
-            return seq
-        arr = list(seq)
-        for pos in np.nonzero(rng.random_sample(len(arr))
-                              < error_rate)[0]:
-            old = arr[pos]
-            arr[pos] = "ACGT"[("ACGT".index(old)
-                               + rng.randint(1, 4)) % 4]
-        return "".join(arr)
+    def _qual_from_perr(perr: np.ndarray) -> str:
+        q = np.clip((-10.0 * np.log10(np.maximum(perr, 1e-4))).astype(
+            np.int32), 2, 40)
+        return "".join(chr(33 + int(x)) for x in q)
+
+    def mutate(template: str) -> Tuple[str, str]:
+        """Apply the error model to a template window; returns
+        (read of exactly read_len, quality string)."""
+        if not noisy and quality_model == "uniform":
+            return template[:read_len], flat_qual
+        if indel_rate <= 0 and n_rate <= 0:
+            # substitution-only fast path, vectorized (the 1M-pair bench
+            # datasets live here); consumes the same rng stream as the
+            # round-2 generator under quality_model='uniform'
+            arr = list(template[:read_len])
+            thresh = error_rate * pos_mult[: len(arr)]
+            rs = rng.random_sample(len(arr))
+            hits = np.nonzero(rs < thresh)[0]
+            for pos in hits:
+                old = arr[pos]
+                arr[pos] = "ACGT"[("ACGT".index(old)
+                                   + rng.randint(1, 4)) % 4]
+            read = "".join(arr)
+            if quality_model == "uniform":
+                return read, "I" * len(read)
+            perr = np.maximum(thresh * 0.25, 1e-4)
+            perr[hits] = np.maximum(thresh[hits], 1e-3)
+            return read, _qual_from_perr(perr)
+        out = []
+        perr = []
+        ti = 0
+        while len(out) < read_len and ti < len(template):
+            cyc = len(out)
+            m = pos_mult[cyc]
+            r = rng.random_sample()
+            p_sub = error_rate * m
+            p_ins = indel_rate * 0.5 * m
+            p_del = indel_rate * 0.5 * m
+            p_n = n_rate * m
+            base = template[ti]
+            if r < p_del:
+                ti += 1                      # skip a template base
+                continue
+            if r < p_del + p_ins:
+                out.append("ACGT"[rng.randint(0, 4)])   # no ti advance
+                perr.append(max(p_sub + p_ins, 1e-3))
+                continue
+            if r < p_del + p_ins + p_n:
+                # no-calls come as short runs like real dropouts
+                run = 1 + (rng.randint(0, 3) if rng.random_sample() < 0.3
+                           else 0)
+                for _ in range(run):
+                    if len(out) >= read_len:
+                        break
+                    out.append("N")
+                    perr.append(0.75)
+                    ti += 1
+                continue
+            if r < p_del + p_ins + p_n + p_sub:
+                out.append("ACGT"[("ACGT".index(base)
+                                   + rng.randint(1, 4)) % 4])
+                perr.append(max(p_sub, 1e-3))
+            else:
+                out.append(base)
+                perr.append(max(p_sub * 0.25, 1e-4))
+            ti += 1
+        read = "".join(out)
+        if quality_model == "uniform":
+            return read, "I" * len(read)
+        return read, _qual_from_perr(np.asarray(perr))
+
+    # deletions consume extra template; hand mutate() a slack window
+    slack = read_len + (20 if indel_rate > 0 else 0)
 
     with open(fwd_path, "w") as f1, open(rve_path, "w") as f2:
         ridx = 0
         for s in range(num_strains):
             hap = true_haps[s]
             npairs = int(pairs_per_strain * abundances[s] / abundances[0])
-            maxp = len(hap) - insert_len
+            maxp = len(hap) - max(insert_len, slack)
             positions = rng.randint(0, maxp, size=npairs)
             for p in positions:
-                fseq = mutate(hap[p: p + read_len])
-                rseq = mutate(revcomp_str(hap[p + insert_len - read_len:
-                                              p + insert_len]))
-                f1.write(f"@read{ridx}/1\n{fseq}\n+\n{qual}\n")
-                f2.write(f"@read{ridx}/2\n{rseq}\n+\n{qual}\n")
+                fseq, fq = mutate(hap[p: p + slack])
+                # the reverse read's template grows toward LOWER hap
+                # coordinates after revcomp; its 5' base stays at
+                # p+insert_len-1 exactly as in the clean model
+                rseq, rq = mutate(revcomp_str(
+                    hap[max(0, p + insert_len - slack): p + insert_len]))
+                f1.write(f"@read{ridx}/1\n{fseq}\n+\n{fq}\n")
+                f2.write(f"@read{ridx}/2\n{rseq}\n+\n{rq}\n")
                 ridx += 1
 
     return SynthDataset(gfa_path, paths_path, fwd_path, rve_path,
