@@ -1838,21 +1838,35 @@ def _infer_pe_links_sparse(ids, table: KmerTable, reads: ReadPairBatch,
     Tr = max(reads.fwd_codes.shape[1], reads.rve_codes.shape[1])
     # materializing sat_nodes right after its dispatch would sync the
     # stream per batch (no overlap of host COO work, transfer, and
-    # device compute); buffer a window of device results instead and
-    # drain behind the dispatch front
-    pending: List = []
+    # device compute); a consumer thread drains device results into the
+    # COO lists behind the dispatch front (numpy releases the GIL, so
+    # the pair expansion overlaps both the next dispatch's wire packing
+    # and device compute), bounded to 32 device-resident results
+    import queue as _queue
+    import threading as _threading
+    work: "_queue.Queue" = _queue.Queue(maxsize=32)
+    drain_err: List[BaseException] = []
 
-    def _drain():
-        for sat_nodes, ovf in pending:
-            ovfs.append(ovf)
-            sn = np.asarray(sat_nodes)
-            b = sn.shape[0] // 2
-            pe, st = _sparse_pairs_np(sn[:b], sn[b:], N)
-            for arr, kl, cl in ((pe, pe_k, pe_c), (st, st_k, st_c)):
-                u, c = np.unique(arr, return_counts=True)
-                kl.append(u)
-                cl.append(c)
-        pending.clear()
+    def _drain_worker():
+        while True:
+            item = work.get()
+            if item is None:
+                return
+            sat_nodes, ovf = item
+            try:
+                ovfs.append(ovf)
+                sn = np.asarray(sat_nodes)
+                b = sn.shape[0] // 2
+                pe, st = _sparse_pairs_np(sn[:b], sn[b:], N)
+                for arr, kl, cl in ((pe, pe_k, pe_c), (st, st_k, st_c)):
+                    u, c = np.unique(arr, return_counts=True)
+                    kl.append(u)
+                    cl.append(c)
+            except BaseException as exc:  # surface in the driver thread
+                drain_err.append(exc)
+
+    drainer = _threading.Thread(target=_drain_worker, daemon=True)
+    drainer.start()
 
     for kind, payload in _wire_batches(reads, batch_size,
                                        force_bytes=not sortfill):
@@ -1883,10 +1897,11 @@ def _infer_pe_links_sparse(ids, table: KmerTable, reads: ReadPairBatch,
             sat_nodes, ovf = _stats_sparse_kernel(
                 q1, h2qi, valid, lo, lens, tab_h1, tab_h2, tab_node,
                 seq_lens, split_len=split_len, depth=depth, cap=cap)
-        pending.append((sat_nodes, ovf))
-        if len(pending) >= 32:  # bound device-resident results
-            _drain()
-    _drain()
+        work.put((sat_nodes, ovf))
+    work.put(None)
+    drainer.join()
+    if drain_err:
+        raise drain_err[0]
 
     if any(bool(np.asarray(o)) for o in ovfs):
         if cap >= 256:
