@@ -564,6 +564,56 @@ def test_explicit_sortfill_beyond_packing_falls_back():
     np.testing.assert_array_equal(res.short_mat, sm)
 
 
+def test_compile_race_cpu_path_matches_driver():
+    """_CompileRace's CPU-side batch path (CPU table copies, scatter
+    stats, separate accumulators + spill) produces the exact matrices
+    of the plain driver — the correctness half of the compile race; on
+    the accelerator the switch just changes which backend sums which
+    batches, and integer sums are split-invariant."""
+    import jax
+    import jax.numpy as jnp
+
+    import vstrains_tpu.ops.pe_infer as P
+
+    rng = np.random.RandomState(8)
+    k = 11
+    refs = _random_refs(rng, 6, [150, 200, 250, 150, 200, 250])
+    fwd, rve = _sample_reads(rng, refs, 300, 40, k)
+    batch = _make_batch(fwd, rve, k + 1)
+    ids = [str(i) for i in range(len(refs))]
+    base = infer_pe_links(ids, refs, batch, k, batch_size=128)
+
+    table = build_kmer_table(refs, k + 1)
+    N = table.num_nodes
+    node_bits = P._sortfill_node_bits(N)
+    probe_kw = dict(stats_impl="scatter", probe="sortfill",
+                    pays=jnp.asarray(
+                        P._build_sortfill_payloads(table, node_bits)),
+                    node_bits=node_bits, fill="cummin", stride=1)
+    empty = jnp.zeros(0, jnp.int32)
+    tab = (jnp.asarray(table.h1_biased), empty, empty,
+           jnp.asarray(table.seq_lens))
+    import logging
+    race = P._CompileRace(jax.devices("cpu")[0], table, tab, empty,
+                          probe_kw, k + 1, 128, N,
+                          logging.getLogger("race"))
+    race._spill_every = 2          # force mid-run spills
+    for kind, payload in P._wire_batches(batch, 128, as_numpy=True):
+        Tp = max(batch.fwd_codes.shape[1], batch.rve_codes.shape[1])
+        race.cpu_batch(kind, payload, Tp, table.max_dup)
+    nm, sm = race.finish()
+    np.testing.assert_array_equal(nm, base.node_mat)
+    np.testing.assert_array_equal(sm, base.short_mat)
+    # warm path: event set after the (cpu-as-accel) kernel call
+    race.start_warm(Tp)
+    import time
+    for _ in range(100):
+        if race.ready(Tp):
+            break
+        time.sleep(0.1)
+    assert race.ready(Tp)
+
+
 def test_length_buckets_plan():
     from vstrains_tpu.ops.pe_infer import _length_buckets
     rng = np.random.RandomState(5)
@@ -746,8 +796,9 @@ def _run_with_feed_spy(ids, refs, batch, k, **kw):
     feeds = []
     orig = P._wire_batches
 
-    def spy(reads, bs, force_bytes=False):
-        for kind, payload in orig(reads, bs, force_bytes=force_bytes):
+    def spy(reads, bs, force_bytes=False, as_numpy=False):
+        for kind, payload in orig(reads, bs, force_bytes=force_bytes,
+                                  as_numpy=as_numpy):
             feeds.append(kind)
             yield kind, payload
 

@@ -292,6 +292,175 @@ def make_dataset(out_dir: str,
                         true_haps, node_names, k)
 
 
+def make_adversarial_dataset(out_dir: str,
+                             num_strains: int = 4,
+                             num_bubbles: int = 4,
+                             nested_every: int = 0,
+                             anchor_len: int = 200,
+                             variant_len: int = 120,
+                             k: int = 21,
+                             read_len: int = 60,
+                             insert_len: int = 150,
+                             pairs_per_strain: int = 600,
+                             abundances: Tuple[float, ...] = None,
+                             seed: int = 0) -> SynthDataset:
+    """Adversarial-topology generator for the recovery-frontier soak.
+
+    Same bubble-chain skeleton as make_dataset, but every
+    `nested_every`-th bubble is NESTED: strains first fork into
+    groups (outer variant nodes, one per pair of strains), then each
+    group forks into per-strain inner variants —
+        anchor -> O_g -> I_s -> anchor
+    — the topology class where greedy per-branch splitting must resolve
+    two stacked decisions whose PE evidence partially overlaps. Shared-
+    segment ratio and abundance gaps come from anchor_len/variant_len
+    and `abundances` as usual. Contigs are per-bubble fragments (the
+    hard 'split' mode). nested_every=0 disables nesting (then this is
+    make_dataset with contig_mode='split')."""
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.RandomState(seed)
+    if abundances is None:
+        abundances = tuple(40.0 + 30.0 * i for i in range(num_strains))
+
+    anchors = [_rand_seq(rng, anchor_len)
+               for _ in range(num_bubbles + 1)]
+    group_of = [s // 2 for s in range(num_strains)]
+    n_groups = max(group_of) + 1
+
+    # per-bubble node sequences; nested bubbles split the variant
+    # region into an outer (group) half and an inner (strain) half
+    node_names: List[str] = []
+    seqs = {}
+    covs = {}
+    tot = float(sum(abundances))
+
+    def new_node(seq: str, cov: float) -> str:
+        name = str(len(node_names) + 1)
+        node_names.append(name)
+        seqs[name] = seq
+        covs[name] = cov
+        return name
+
+    anchor_names = [new_node(a, tot) for a in anchors]
+
+    edges: List[Tuple[str, str]] = []
+    # per strain, the chain of variant nodes inside bubble b
+    bubble_chain: List[List[List[str]]] = []   # [bubble][strain] -> nodes
+    for b in range(num_bubbles):
+        head = anchors[b][-k:]
+        tail = anchors[b + 1][:k]
+        nested = nested_every > 0 and (b % nested_every == 0)
+        chains: List[List[str]] = [None] * num_strains
+        if not nested:
+            mid_len = variant_len - 2 * k
+            assert mid_len > 4
+            base_mid = _rand_seq(rng, mid_len)
+            for s in range(num_strains):
+                mid = list(base_mid)
+                for m in range(3):
+                    pos = min((m + 1) * mid_len // 4 + s, mid_len - 1)
+                    mid[pos] = "ACGT"[("ACGT".index(mid[pos]) + 1 + s)
+                                      % 4]
+                node = new_node(head + "".join(mid) + tail,
+                                float(abundances[s]))
+                edges.append((anchor_names[b], node))
+                edges.append((node, anchor_names[b + 1]))
+                chains[s] = [node]
+        else:
+            half = max(k + 5, (variant_len - 2 * k) // 2)
+            base_outer = _rand_seq(rng, half)
+            base_inner = _rand_seq(rng, half)
+            outer_nodes = []
+            for g in range(n_groups):
+                mid = list(base_outer)
+                for m in range(3):
+                    pos = min((m + 1) * half // 4 + g, half - 1)
+                    mid[pos] = "ACGT"[("ACGT".index(mid[pos]) + 1 + g)
+                                      % 4]
+                g_cov = float(sum(abundances[s]
+                                  for s in range(num_strains)
+                                  if group_of[s] == g))
+                node = new_node(head + "".join(mid), g_cov)
+                outer_nodes.append(node)
+                edges.append((anchor_names[b], node))
+            for s in range(num_strains):
+                g = group_of[s]
+                join = seqs[outer_nodes[g]][-k:]
+                mid = list(base_inner)
+                for m in range(3):
+                    pos = min((m + 1) * half // 4 + s, half - 1)
+                    mid[pos] = "ACGT"[("ACGT".index(mid[pos]) + 1 + s)
+                                      % 4]
+                node = new_node(join + "".join(mid) + tail,
+                                float(abundances[s]))
+                edges.append((outer_nodes[g], node))
+                edges.append((node, anchor_names[b + 1]))
+                chains[s] = [outer_nodes[g], node]
+        bubble_chain.append(chains)
+
+    # ---- true haplotypes ----
+    true_haps = []
+    for s in range(num_strains):
+        hap = anchors[0]
+        for b in range(num_bubbles):
+            for node in bubble_chain[b][s]:
+                hap += seqs[node][k:]
+            hap += anchors[b + 1][k:]
+        true_haps.append(hap)
+
+    gfa_path = os.path.join(out_dir,
+                            "assembly_graph_after_simplification.gfa")
+    with open(gfa_path, "w") as g:
+        for name in node_names:
+            g.write(f"S\t{name}\t{seqs[name]}\tDP:f:{covs[name]}\n")
+        seen = set()
+        for u, v in edges:
+            if (u, v) not in seen:
+                seen.add((u, v))
+                g.write(f"L\t{u}\t+\t{v}\t+\t{k}M\n")
+
+    # ---- per-bubble fragment contigs ----
+    paths_path = os.path.join(out_dir, "contigs.paths")
+    with open(paths_path, "w") as f:
+        cno = 1
+        for b in range(num_bubbles):
+            for s in range(num_strains):
+                nodes = ([anchor_names[b]] + bubble_chain[b][s]
+                         + [anchor_names[b + 1]])
+                ln = sum(len(seqs[n]) for n in nodes) \
+                    - k * (len(nodes) - 1)
+                cov = abundances[s]
+                f.write(f"NODE_{cno}_length_{ln}_cov_{cov}\n")
+                f.write(",".join(n + "+" for n in nodes) + "\n")
+                f.write(f"NODE_{cno}_length_{ln}_cov_{cov}'\n")
+                f.write(",".join(n + "-" for n in reversed(nodes))
+                        + "\n")
+                cno += 1
+
+    # ---- reads (clean; the frontier isolates topology/abundance) ----
+    fwd_path = os.path.join(out_dir, "reads_1.fastq")
+    rve_path = os.path.join(out_dir, "reads_2.fastq")
+    qual = "I" * read_len
+    with open(fwd_path, "w") as f1, open(rve_path, "w") as f2:
+        ridx = 0
+        for s in range(num_strains):
+            hap = true_haps[s]
+            npairs = int(pairs_per_strain * abundances[s]
+                         / abundances[0])
+            maxp = len(hap) - insert_len
+            positions = rng.randint(0, maxp, size=npairs)
+            for p in positions:
+                fseq = hap[p: p + read_len]
+                rseq = revcomp_str(hap[p + insert_len - read_len:
+                                       p + insert_len])
+                f1.write(f"@read{ridx}/1\n{fseq}\n+\n{qual}\n")
+                f2.write(f"@read{ridx}/2\n{rseq}\n+\n{qual}\n")
+                ridx += 1
+
+    return SynthDataset(gfa_path, paths_path, fwd_path, rve_path,
+                        true_haps, node_names, k)
+
+
 def make_multi_component_dataset(out_dir: str, n_components: int = 2,
                                  seed: int = 0,
                                  **kwargs) -> SynthDataset:

@@ -63,7 +63,7 @@ from __future__ import annotations
 import logging
 from dataclasses import dataclass
 from functools import partial
-from typing import List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -1409,7 +1409,7 @@ def _has_bad_in_read(codes: np.ndarray, lens: np.ndarray) -> bool:
 
 
 def _wire_batches(reads: ReadPairBatch, batch_size: int,
-                  force_bytes: bool = False):
+                  force_bytes: bool = False, as_numpy: bool = False):
     """Batch feed over the compact wire format (see _pack_wire_np).
 
     Yields ("wire", dev_u8[B, W]) batches, falling back to
@@ -1419,7 +1419,11 @@ def _wire_batches(reads: ReadPairBatch, batch_size: int,
     in) when available, vectorized numpy otherwise — so with JAX async
     dispatch the host packs batch i+1 while the device runs batch i;
     the up-front whole-dataset pack this replaces serialized ~30% of
-    e2e wall-clock ahead of the first dispatch."""
+    e2e wall-clock ahead of the first dispatch.
+
+    as_numpy yields host numpy arrays instead of device arrays, letting
+    the caller choose per-batch placement (the compile-race path places
+    early batches on the CPU backend)."""
     B = reads.num_pairs
     T = max(reads.fwd_codes.shape[1], reads.rve_codes.shape[1])
     wire_ok = T < 65536 and not force_bytes
@@ -1450,10 +1454,13 @@ def _wire_batches(reads: ReadPairBatch, batch_size: int,
             else:
                 wire = None
             if wire is not None:
-                yield ("wire", jnp.asarray(wire))
+                yield ("wire", wire if as_numpy else jnp.asarray(wire))
                 continue
-        yield ("bytes", (jnp.asarray(fc), jnp.asarray(fl),
-                         jnp.asarray(rc), jnp.asarray(rl)))
+        if as_numpy:
+            yield ("bytes", (fc, fl, rc, rl))
+        else:
+            yield ("bytes", (jnp.asarray(fc), jnp.asarray(fl),
+                             jnp.asarray(rc), jnp.asarray(rl)))
 
 
 def _length_buckets(reads: ReadPairBatch, split_len: int,
@@ -1519,6 +1526,115 @@ class PESparseResult:
     n_reads: int
     short_reads: int
     used_reads: int
+
+
+class _CompileRace:
+    """Race the accelerator's first-run kernel compile against CPU
+    batch processing.
+
+    A daemon thread compiles the fused accelerator kernel on a zeroed
+    batch of the production shape (deduped with the pipeline-level
+    prefetch through jit's compile lock); until it finishes, production
+    batches run on the host CPU backend with CPU-resident copies of the
+    table and payloads. The per-backend int32 accumulators spill into
+    separate int64 host matrices, summed by the driver at the end —
+    bit-identical to a single-backend run because link counts are
+    integer sums. If the accelerator warm-up fails, the run completes
+    on CPU (correct, just slower)."""
+
+    def __init__(self, cpu_dev, table, tab, bstarts, probe_kw,
+                 split_len, batch_size, num_nodes, logger):
+        self._cpu = cpu_dev
+        self._accel = jax.devices()[0]
+        self._table = table
+        self._tab_accel = tab
+        self._bstarts_accel = bstarts
+        self._probe_kw = probe_kw
+        self._split_len = split_len
+        self._bs = batch_size
+        self._N = num_nodes
+        self._log = logger
+        self._events: Dict[int, "object"] = {}
+        kw = dict(probe_kw)
+        kw["stats_impl"] = "scatter"   # Pallas/one-hot are accel picks
+        with jax.default_device(cpu_dev):
+            if "pays" in kw:
+                kw["pays"] = jnp.asarray(np.asarray(probe_kw["pays"]))
+            self._tab = tuple(jnp.asarray(np.asarray(a)) for a in tab)
+            self._bstarts = jnp.asarray(np.asarray(bstarts))
+            self._acc_nm = jnp.zeros((num_nodes, num_nodes), jnp.int32)
+            self._acc_sm = jnp.zeros((num_nodes, num_nodes), jnp.int32)
+        self._kw = kw
+        self._node64 = np.zeros((num_nodes, num_nodes), np.int64)
+        self._short64 = np.zeros((num_nodes, num_nodes), np.int64)
+        self._spill_every = max(1, (2**30) // max(batch_size, 1))
+        self._since = 0
+
+    def start_warm(self, Tp: int) -> None:
+        import threading
+        if Tp in self._events:
+            return
+        ev = threading.Event()
+        self._events[Tp] = ev
+        wire0 = np.zeros((self._bs, _wire_width(Tp)), np.uint8)
+
+        def warm():
+            try:
+                with jax.default_device(self._accel):
+                    acc0 = jnp.zeros((self._N, self._N), jnp.int32)
+                    acc1 = jnp.zeros((self._N, self._N), jnp.int32)
+                    _pe_batch_fused_wire(
+                        jnp.asarray(wire0), acc0, acc1,
+                        *self._tab_accel, self._bstarts_accel, T=Tp,
+                        split_len=self._split_len,
+                        max_dup=self._table.max_dup, num_nodes=self._N,
+                        **self._probe_kw)
+                ev.set()   # compile done (dispatch returns post-compile)
+            except Exception as exc:
+                # leave the event unset: the run completes on CPU
+                self._log.warning("accelerator kernel warm-up failed "
+                                  "(%s); finishing on the CPU backend",
+                                  exc)
+
+        threading.Thread(target=warm, daemon=True,
+                         name=f"pe-warm-{Tp}").start()
+
+    def ready(self, Tp: int) -> bool:
+        ev = self._events.get(Tp)
+        return ev is not None and ev.is_set()
+
+    def cpu_batch(self, kind, payload, Tp: int, max_dup: int) -> None:
+        with jax.default_device(self._cpu):
+            if kind == "wire":
+                self._acc_nm, self._acc_sm = _pe_batch_fused_wire(
+                    jnp.asarray(payload), self._acc_nm, self._acc_sm,
+                    *self._tab, self._bstarts, T=Tp,
+                    split_len=self._split_len, max_dup=max_dup,
+                    num_nodes=self._N, **self._kw)
+            else:
+                self._acc_nm, self._acc_sm = _pe_batch_fused(
+                    *(jnp.asarray(a) for a in payload),
+                    self._acc_nm, self._acc_sm, *self._tab,
+                    self._bstarts, split_len=self._split_len,
+                    max_dup=max_dup, num_nodes=self._N, **self._kw)
+        self._since += 1
+        if self._since >= self._spill_every:
+            self._spill()
+
+    def _spill(self) -> None:
+        self._node64 += np.asarray(self._acc_nm, dtype=np.int64)
+        self._short64 += np.asarray(self._acc_sm, dtype=np.int64)
+        with jax.default_device(self._cpu):
+            self._acc_nm = jnp.zeros((self._N, self._N), jnp.int32)
+            self._acc_sm = jnp.zeros((self._N, self._N), jnp.int32)
+        self._since = 0
+
+    def finish(self):
+        """Drain the CPU accumulators (warm threads are daemons — a
+        compile still in flight when all batches already ran on CPU is
+        abandoned, not awaited)."""
+        self._spill()
+        return self._node64, self._short64
 
 
 def infer_pe_links(ids: Sequence[str], seqs: Sequence[str],
@@ -1729,11 +1845,46 @@ def infer_pe_links(ids: Sequence[str], seqs: Sequence[str],
                 reads.fwd_len[ix],
                 np.ascontiguousarray(reads.rve_codes[ix, :wd]),
                 reads.rve_len[ix], 0, 0, len(ix)) for wd, ix in buckets]
+        # compile-race: the accelerator's first-run kernel compile costs
+        # 25-85 s over the remote-compile relay and the persistent cache
+        # cannot store its executables (BASELINE.md caveats). Instead of
+        # idling, a warm thread compiles the accelerator kernel on a
+        # zero batch while PRODUCTION batches run on the host CPU
+        # backend; the moment the kernel is ready the loop switches.
+        # Integer matrices make the split exact: accel + cpu partial
+        # sums are bit-identical to any single-backend run.
+        # VSTRAINS_COMPILE_RACE=0 disables.
+        race = None
+        if (fused and not small and not force_backend
+                and jax.default_backend() != "cpu"
+                and _os.environ.get("VSTRAINS_COMPILE_RACE", "1")
+                != "0"):
+            try:
+                race = _CompileRace(
+                    jax.devices("cpu")[0], table, tab, bstarts,
+                    probe_kw, split_len, batch_size, N, logger)
+            except Exception as exc:
+                logger.debug("compile race unavailable: %s", exc)
+
+        cpu_batches = 0
         for p in parts:
             Tp = max(p.fwd_codes.shape[1], p.rve_codes.shape[1])
-            for kind, payload in _wire_batches(p, batch_size,
-                                               force_bytes=not fused):
+            if race is not None:
+                race.start_warm(Tp)
+            for kind, payload in _wire_batches(
+                    p, batch_size, force_bytes=not fused,
+                    as_numpy=fused and race is not None):
                 if fused:
+                    if race is not None and not race.ready(Tp):
+                        race.cpu_batch(kind, payload, Tp,
+                                       table.max_dup)
+                        cpu_batches += 1
+                        continue
+                    if race is not None:
+                        payload = (jnp.asarray(payload)
+                                   if kind == "wire" else
+                                   tuple(jnp.asarray(a)
+                                         for a in payload))
                     if kind == "wire":
                         acc_nm, acc_sm = _pe_batch_fused_wire(
                             payload, acc_nm, acc_sm, *tab, bstarts,
@@ -1770,6 +1921,14 @@ def infer_pe_links(ids: Sequence[str], seqs: Sequence[str],
                     since_spill = 0
         node_mat += np.asarray(acc_nm, dtype=np.int64)
         short_mat += np.asarray(acc_sm, dtype=np.int64)
+        if race is not None:
+            rnm, rsm = race.finish()
+            node_mat += rnm
+            short_mat += rsm
+            if cpu_batches:
+                logger.info("compile race: %d batch(es) ran on the CPU "
+                            "backend while the accelerator kernel "
+                            "compiled", cpu_batches)
 
         return PEResult(list(ids), node_mat, short_mat, reads.n_reads,
                         reads.short_reads, reads.used_reads)

@@ -152,6 +152,44 @@ def _enable_compilation_cache(logger) -> None:
         logger.debug("compilation cache unavailable: %s", e)
 
 
+def _report_cache_persistence(run_start: float, logger) -> None:
+    """After the PE stage (the only accelerator-compile-heavy stage),
+    check whether the persistent compilation cache actually gained
+    entries this run and say so plainly: some PJRT plugins (e.g.
+    relay-tunneled TPUs) do not support executable serialization, so
+    every fresh process re-pays each kernel compile — users deserve an
+    honest ETA instead of a silently cold cache. The compile race
+    (ops.pe_infer._CompileRace) keeps the CPU backend productive during
+    that window either way."""
+    import glob
+    import os
+
+    import jax
+    try:
+        if jax.default_backend() == "cpu":
+            return
+        cache_dir = jax.config.jax_compilation_cache_dir
+        if not cache_dir:
+            return
+        fresh = [p for p in glob.glob(os.path.join(cache_dir, "*"))
+                 if os.path.getmtime(p) >= run_start]
+        if fresh:
+            logger.info("compilation cache gained %d entr%s — repeat "
+                        "runs with these shapes skip the compile",
+                        len(fresh), "y" if len(fresh) == 1 else "ies")
+        else:
+            logger.warning(
+                "the %s backend did not persist any compiled executable "
+                "this run (its PJRT plugin likely does not support "
+                "executable serialization) — every fresh process will "
+                "re-pay each accelerator kernel compile (tens of "
+                "seconds to minutes per shape). Early batches run on "
+                "the CPU backend meanwhile (compile race), so wall "
+                "time degrades gracefully.", jax.default_backend())
+    except Exception as exc:
+        logger.debug("cache persistence check skipped: %s", exc)
+
+
 def run(args, logger: logging.Logger = None) -> int:
     """args needs: gfa_file, path_file, fwd, rve, output_dir, min_cov,
     min_len, dev (mirrors the reference CLI namespace); optional: resume,
@@ -301,6 +339,7 @@ def run(args, logger: logging.Logger = None) -> int:
                 view1.nodes.keys(), pe_result)
             ckpt.save_stage(temp_dir, "pe_links", {
                 "pe_info": pe_info, "dcpy_pe_info": dcpy_pe_info})
+            _report_cache_persistence(t0, logger)
 
     # ---- stage 5: edge cleaning ----
     if done("cleaned"):
