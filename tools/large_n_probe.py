@@ -50,13 +50,26 @@ def main():
         dm[res.pair_keys // n, res.pair_keys % n] = res.pair_counts
         return dm
 
+    # the one-time table build runs identically inside infer_pe_links;
+    # timing it standalone decomposes E2E = build + engine honestly
+    from vstrains_tpu.ops.pe_infer import build_kmer_table
+    t0 = time.time()
+    tbl = build_kmer_table(refs, k + 1)
+    build_s = time.time() - t0
+    print(f"# table build: {build_s:.1f}s ({tbl.num_entries} entries, "
+          f"max_dup={tbl.max_dup})", file=sys.stderr)
+
+    record = {"nodes": n_nodes, "pairs": n_pairs,
+              "table_entries": int(tbl.num_entries),
+              "backend": jax.default_backend(),
+              "table_build_seconds": round(build_s, 2), "modes": {}}
     results = {}
     for mode in modes:
         t0 = time.time()
         r0 = infer_pe_links(ids, refs, warm, k, batch_size=bs,
                             probe_mode=mode)
-        print(f"# warmup[{mode}] {time.time() - t0:.1f}s",
-              file=sys.stderr)
+        warm_s = time.time() - t0
+        print(f"# warmup[{mode}] {warm_s:.1f}s", file=sys.stderr)
         t0 = time.time()
         res = infer_pe_links(ids, refs, batch, k, batch_size=bs,
                              probe_mode=mode)
@@ -64,14 +77,28 @@ def main():
         kind = "sparse" if isinstance(res, PESparseResult) else "dense"
         results[mode] = as_dense(res)
         links = int(np.count_nonzero(results[mode]))
+        engine = n_pairs / max(dt - build_s, 1e-9)
         print(f"N={n_nodes} probe={mode}: full batch {bs} sustained "
-              f"({kind} mode), {n_pairs / dt:.0f} reads/s, "
-              f"{links} link pairs")
+              f"({kind} mode), {n_pairs / dt:.0f} reads/s E2E "
+              f"({engine:.0f} engine after the {build_s:.1f}s table "
+              f"build), {links} link pairs")
+        record["modes"][mode] = {
+            "kind": kind, "wall_seconds": round(dt, 2),
+            "warmup_seconds": round(warm_s, 2),
+            "reads_per_s_e2e": round(n_pairs / dt),
+            "reads_per_s_engine": round(engine),
+            "links": links}
     first = results[modes[0]]
     for res in results.values():
         np.testing.assert_array_equal(res, first)
     if len(modes) > 1:
         print("all probe modes byte-identical")
+    import json
+    out = os.environ.get("PROBE_OUT")
+    print(json.dumps(record))
+    if out:
+        with open(out, "w") as fh:
+            json.dump(record, fh, indent=2)
 
 
 if __name__ == "__main__":
