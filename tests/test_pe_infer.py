@@ -844,3 +844,52 @@ def test_wire_feed_iupac_falls_back_to_bytes():
     nm, sm, *_ = oracle_pe_matrices(refs, fwd, rve, 11)
     np.testing.assert_array_equal(res.node_mat, nm)
     np.testing.assert_array_equal(res.short_mat, sm)
+
+
+def test_parallel_table_sort_matches_serial(monkeypatch):
+    """The partition-parallel table sort (top-byte radix partition +
+    threaded per-partition sorts + tie canonization) must produce the
+    byte-identical table the serial stable-sort path builds — including
+    max_dup (computed per-partition in the threaded path) and the
+    bucket index."""
+    import vstrains_tpu.ops.pe_infer as P
+
+    rng = np.random.RandomState(7)
+    refs = _random_refs(rng, 60, list(rng.randint(80, 400, 60)))
+    # duplicate some sequences so tie runs (equal h1,h2 across distinct
+    # node/offset) actually occur
+    refs += refs[:10]
+
+    monkeypatch.setattr(P, "_PARALLEL_SORT_MIN", 1 << 60)
+    serial = P.build_kmer_table(refs, 12, bucket_index=True)
+    monkeypatch.setattr(P, "_PARALLEL_SORT_MIN", 0)
+    par = P.build_kmer_table(refs, 12, bucket_index=True)
+
+    for f in ("h1_biased", "h2", "node", "offset", "bucket_starts"):
+        np.testing.assert_array_equal(getattr(serial, f), getattr(par, f),
+                                      err_msg=f)
+    assert serial.max_dup == par.max_dup
+    assert serial.scan_depth == par.scan_depth
+    assert serial.num_entries == par.num_entries
+
+
+def test_bucket_index_auto_skip(monkeypatch):
+    """bucket_index='auto' skips the direct-address index only for
+    metaSPAdes-scale sortfill-eligible tables; the lookup probe then
+    falls back to the sort join with identical matrices."""
+    import vstrains_tpu.ops.pe_infer as P
+
+    rng = np.random.RandomState(8)
+    refs = _random_refs(rng, 6, [90, 100, 110, 120, 130, 140])
+    small = P.build_kmer_table(refs, 12)
+    assert small.bucket_starts is not None  # under the size threshold
+
+    monkeypatch.setattr(P, "_SORTFILL_STRIDE_MIN_TABLE", 1)
+    skipped = P.build_kmer_table(refs, 12)
+    assert skipped.bucket_starts is None
+    assert skipped.scan_depth == skipped.max_dup
+    forced = P.build_kmer_table(refs, 12, bucket_index=True)
+    np.testing.assert_array_equal(forced.bucket_starts,
+                                  small.bucket_starts)
+    # the probe APIs treat a missing index as "use the sort join"
+    np.testing.assert_array_equal(skipped.h1_biased, small.h1_biased)

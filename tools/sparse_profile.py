@@ -66,15 +66,18 @@ def main():
     lens = jax.device_put(lens)
     cap = 16
 
+    # tables MUST be jit arguments, not closure captures: captured they
+    # become HLO constants and the 232 MB compile request trips the
+    # relay's HTTP 413 body limit
     @partial(jax.jit, static_argnames=("stride",))
-    def v_slots(codes, lens, salt, stride):
+    def v_slots(codes, lens, tab_h1, pays, salt, stride):
         node_t = P._sortfill_node_slots(
             codes + salt - salt, lens, tab_h1, pays, split_len,
             n_nodes, fill="cummin", node_bits=node_bits, stride=stride)
         return jnp.sum(node_t.astype(jnp.float32))
 
     @partial(jax.jit, static_argnames=("stride",))
-    def v_sat(codes, lens, salt, stride):
+    def v_sat(codes, lens, tab_h1, pays, salt, stride):
         out, ovf = P._sparse_sortfill_core(
             codes + salt - salt, lens, tab_h1, seq_lens, pays,
             split_len, D, cap, n_nodes, "cummin", node_bits,
@@ -82,10 +85,10 @@ def main():
         return jnp.sum(out.astype(jnp.float32)) + ovf.astype(jnp.float32)
 
     def timed(f, *a, stride=stride):
-        float(f(*a, jnp.int32(0), stride=stride))  # compile
+        float(f(*a, tab_h1, pays, jnp.int32(0), stride=stride))  # compile
         t0 = time.time()
         for r in range(reps):
-            float(f(*a, jnp.int32(r), stride=stride))
+            float(f(*a, tab_h1, pays, jnp.int32(r), stride=stride))
         return (time.time() - t0) / reps * 1000
 
     K = codes.shape[1] - split_len + 1

@@ -111,6 +111,10 @@ def _inv_pows(mult: np.uint32, n: int) -> np.ndarray:
     return _mult_pows(np.uint32(_mult_inverse(mult)), n)
 
 
+_PREFIX_WEIGHTS_CACHE: dict = {}
+_PREFIX_WEIGHTS_CACHE_MAX_T = 64 * 1024 * 1024
+
+
 def prefix_hash_weights(L: int, T: int):
     """Host-precomputed weight tables for the prefix-sum window hash.
 
@@ -121,15 +125,27 @@ def prefix_hash_weights(L: int, T: int):
     (P[j+L] - P[j]) * s[j]:  one cumsum + one subtraction + one multiply
     replaces the L-term inner loop — O(T) instead of O(L*(T-L)) per
     sequence, bit-identical mod 2^32.
-    """
+
+    Both tables are position-prefixes of the infinite power series, so
+    one cached table per L serves every T <= its length via views
+    (geometric growth on miss). The table build calls this at the full
+    concatenation length — without the cache, recomputing the ~10M-term
+    power tables per strand cost ~2.5 s at metaSPAdes scale."""
     K = T - L + 1
-    out = []
-    for mult in (HASH_MULT_1, HASH_MULT_2):
-        w = _inv_pows(mult, T)
-        pows = _mult_pows(mult, L + K)
-        s = pows[L - 1: L - 1 + K].copy()
-        out.append((w, s))
-    return out
+    ent = _PREFIX_WEIGHTS_CACHE.get(L) if T <= _PREFIX_WEIGHTS_CACHE_MAX_T \
+        else None
+    if ent is None or ent[0] < T:
+        cap_T = T if T > _PREFIX_WEIGHTS_CACHE_MAX_T else max(
+            T, 2 * (ent[0] if ent else 0))
+        tabs = []
+        for mult in (HASH_MULT_1, HASH_MULT_2):
+            w = _inv_pows(mult, cap_T)
+            pows = _mult_pows(mult, cap_T + L)
+            tabs.append((w, pows))
+        ent = (cap_T, tabs)
+        if T <= _PREFIX_WEIGHTS_CACHE_MAX_T:
+            _PREFIX_WEIGHTS_CACHE[L] = ent
+    return [(w[:T], pows[L - 1: L - 1 + K]) for w, pows in ent[1]]
 
 
 def window_hashes_np(codes: np.ndarray, L: int):

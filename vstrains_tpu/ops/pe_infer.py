@@ -61,6 +61,8 @@ tests/test_reference_diff.py).
 from __future__ import annotations
 
 import logging
+import os
+import sys
 from dataclasses import dataclass
 from functools import partial
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -122,9 +124,13 @@ def _bucket_size(n: int) -> int:
     return size
 
 
+_PARALLEL_SORT_MIN = 1 << 20  # entries; below this the serial sort wins
+
+
 def build_kmer_table(seqs: Sequence[str], split_len: int,
                      pad_to_bucket: bool = True,
-                     sp: Optional[tuple] = None) -> KmerTable:
+                     sp: Optional[tuple] = None,
+                     bucket_index="auto") -> KmerTable:
     """Build the sorted dual-hash table of all valid (k+1)-mers (both
     strands) of every node sequence.
 
@@ -173,15 +179,28 @@ def build_kmer_table(seqs: Sequence[str], split_len: int,
         # window at q = S - L - p, so node lookup and the forward-offset
         # formula (PE_Inference.py:123-135 parity) are shared with the
         # forward strand via q.
-        for cc, is_rc in ((cat, False), (revcomp_codes(cat), True)):
+        prefix_hash_weights(split_len, S)  # warm before the strand race
+
+        def _strand(is_rc: bool):
+            cc = revcomp_codes(cat) if is_rc else cat
             hh1, hh2, vv = window_hashes_np(cc, split_len)
             idx = np.nonzero(vv)[0]
             q = (S - split_len - idx) if is_rc else idx
             which = np.searchsorted(bounds, q, side="right") - 1
-            h1s.append(hh1[idx])
-            h2s.append(hh2[idx])
-            nodes.append(keep_a[which])
-            offsets.append((q - bounds[which]).astype(np.int32))
+            return (hh1[idx], hh2[idx], keep_a[which],
+                    (q - bounds[which]).astype(np.int32))
+
+        # numpy releases the GIL in its inner loops, so the two strands
+        # hash concurrently; results append in fixed (fwd, rc) order
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(2) as ex:
+            futs = [ex.submit(_strand, False), ex.submit(_strand, True)]
+            for fut in futs:
+                hh1, hh2, nd, off = fut.result()
+                h1s.append(hh1)
+                h2s.append(hh2)
+                nodes.append(nd)
+                offsets.append(off)
         parts, keep, klens, cat_len = [], [], [], 0
 
     for i, seq in enumerate(seqs):
@@ -226,37 +245,98 @@ def build_kmer_table(seqs: Sequence[str], split_len: int,
         node = np.zeros(0, np.int32)
         offset = np.zeros(0, np.int32)
 
-    # (h1, h2, node, offset) order via ONE packed-u64 stable sort plus a
-    # tie fix-up: equal (h1, h2) pairs across different (node, offset)
-    # are hash collisions — vanishingly rare — so sorting just the tie
-    # runs by the secondary key costs nothing while keeping the table
-    # order fully input-order-independent (the equivalent 4-key lexsort
-    # cost ~4x at metaSPAdes scale; all fields are non-negative and fit
-    # 32 bits, so the packing preserves the order)
-    key_h = (h1.astype(np.uint64) << np.uint64(32)) | h2.astype(np.uint64)
-    order = np.argsort(key_h, kind="stable")
-    kh_s = key_h[order]
-    ties = np.flatnonzero(kh_s[1:] == kh_s[:-1])
-    if ties.size:
-        in_run = np.zeros(kh_s.shape[0], bool)
-        in_run[ties] = True
-        in_run[ties + 1] = True
-        sub = np.flatnonzero(in_run)
-        key_no = ((node.astype(np.uint64) << np.uint64(32))
-                  | offset.astype(np.uint32).astype(np.uint64))
-        so = np.lexsort((key_no[order[sub]], kh_s[sub]))
-        order[sub] = order[sub[so]]
-    h1 = h1[order]
-    h2 = h2[order]
-    node = node[order]
-    offset = offset[order]
+    # (h1, h2, node, offset) order via a packed-u64 sort plus a tie
+    # fix-up: equal (h1, h2) pairs across different (node, offset) are
+    # hash collisions — vanishingly rare — so sorting just the tie runs
+    # by the secondary key costs nothing while keeping the table order
+    # fully input-order-independent (the equivalent 4-key lexsort cost
+    # ~4x at metaSPAdes scale; all fields are non-negative and fit 32
+    # bits, so the packing preserves the order). Above 1M entries the
+    # sort partitions by the key's top byte (a contiguous h1 range each)
+    # and sorts partitions in threads — numpy's sorts release the GIL —
+    # with the permute and the per-partition max-h1-run folded in; the
+    # tie canonization makes the result identical to the serial path.
+    M_real = int(h1.size)
+    if sys.byteorder == "little" and M_real:
+        # u64 pack without the astype round-trips: write the 32-bit
+        # halves straight into the packed array's lanes
+        key_h = np.empty(M_real, np.uint64)
+        kv = key_h.view(np.uint32)
+        kv[0::2] = h2
+        kv[1::2] = h1
+    else:
+        key_h = ((h1.astype(np.uint64) << np.uint64(32))
+                 | h2.astype(np.uint64))
 
-    if h1.size:
-        # max run of equal h1 bounds the device-side duplicate scan
-        boundaries = np.flatnonzero(np.diff(h1)) + 1
-        starts = np.concatenate([[0], boundaries])
-        ends = np.concatenate([boundaries, [h1.size]])
-        max_dup = int((ends - starts).max())
+    def _canonize_ties(seg, ks):
+        # seg: table-entry indices sorted by ks (their packed key);
+        # reorder equal-key runs by (node, offset) so the final order is
+        # independent of input order and of sort stability
+        ties = np.flatnonzero(ks[1:] == ks[:-1])
+        if ties.size:
+            in_run = np.zeros(ks.shape[0], bool)
+            in_run[ties] = True
+            in_run[ties + 1] = True
+            sub = np.flatnonzero(in_run)
+            key_no = ((node[seg[sub]].astype(np.uint64) << np.uint64(32))
+                      | offset[seg[sub]].astype(np.uint32))
+            so = np.lexsort((key_no, ks[sub]))
+            seg[sub] = seg[sub[so]]
+        return seg
+
+    def _max_h1_run(hs: np.ndarray) -> int:
+        if not hs.size:
+            return 0
+        neq = np.flatnonzero(hs[1:] != hs[:-1])
+        bnds = np.empty(neq.size + 2, np.int64)
+        bnds[0] = -1
+        bnds[1:-1] = neq
+        bnds[-1] = hs.size - 1
+        return int(np.diff(bnds).max())
+
+    if M_real >= _PARALLEL_SORT_MIN:
+        top = (h1 >> np.uint32(24)).astype(np.uint8)
+        porder = np.argsort(top, kind="stable")  # O(n) uint8 radix
+        pbnd = np.empty(257, np.int64)
+        pbnd[0] = 0
+        np.cumsum(np.bincount(top, minlength=256), out=pbnd[1:])
+        h1o = np.empty_like(h1)
+        h2o = np.empty_like(h2)
+        nodeo = np.empty_like(node)
+        offso = np.empty_like(offset)
+        max_dup_parts = np.zeros(256, np.int64)
+
+        def _sort_part(p):
+            a, b = int(pbnd[p]), int(pbnd[p + 1])
+            if a == b:
+                return
+            seg = porder[a:b]
+            keys = key_h[seg]
+            so = np.argsort(keys)
+            seg = seg[so]
+            seg = _canonize_ties(seg, keys[so])
+            hs = h1[seg]
+            h1o[a:b] = hs
+            h2o[a:b] = h2[seg]
+            nodeo[a:b] = node[seg]
+            offso[a:b] = offset[seg]
+            # equal h1 share the top byte, so h1 runs never cross
+            # partition boundaries
+            max_dup_parts[p] = _max_h1_run(hs)
+
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(min(8, os.cpu_count() or 4)) as ex:
+            list(ex.map(_sort_part, range(256)))
+        h1, h2, node, offset = h1o, h2o, nodeo, offso
+        max_dup = int(max_dup_parts.max())
+    elif M_real:
+        order = np.argsort(key_h, kind="stable")
+        order = _canonize_ties(order, key_h[order])
+        h1 = h1[order]
+        h2 = h2[order]
+        node = node[order]
+        offset = offset[order]
+        max_dup = _max_h1_run(h1)
     else:
         max_dup = 1
 
@@ -272,7 +352,30 @@ def build_kmer_table(seqs: Sequence[str], split_len: int,
             offset = np.concatenate([offset, np.zeros(pad, np.int32)])
 
     # direct-address bucket index over the REAL entries (sentinel padding
-    # excluded so it cannot inflate the scan depth)
+    # excluded so it cannot inflate the scan depth). Only the explicit
+    # 'lookup' probe reads it; with bucket_index='auto' a metaSPAdes-
+    # scale table that the default sortfill probe will serve skips the
+    # ~1.7 s bincount/cumsum build (bucket_starts=None -> the classic
+    # fallback uses the sort-join, results unchanged).
+    if bucket_index == "auto":
+        bucket_index = not (h1.size >= _SORTFILL_STRIDE_MIN_TABLE
+                            and _sortfill_node_bits(len(seqs)) is not None
+                            and 1 <= max_dup <= _SORTFILL_MAX_DUP)
+    if not bucket_index:
+        return KmerTable(
+            bucket_starts=None,
+            bucket_shift=32,
+            scan_depth=max(max_dup, 1),
+            h1_biased=h1b,
+            h2=h2b,
+            node=node,
+            offset=offset,
+            max_dup=max_dup,
+            num_nodes=len(seqs),
+            split_len=split_len,
+            seq_lens=seq_lens,
+            num_entries=int(h1.size),
+        )
     if h1.size:
         bits = max(10, min(26, int(np.ceil(np.log2(2 * h1.size)))))
         shift = 32 - bits
@@ -955,25 +1058,63 @@ def _stats_sparse_kernel(q1, h2qi, valid, lo, lens, tab_h1, tab_h2,
     kidx_v = jnp.where(m, kidx, _INF).reshape(B2, R)
 
     return _sparse_sat_tail(node_key, kidx_v, lens, seq_lens,
-                            split_len, cap)
+                            split_len, cap, kmax=K)
 
 
 def _sparse_sat_tail(node_key, kidx_v, lens, seq_lens, split_len: int,
-                     cap: int):
+                     cap: int, kmax: Optional[int] = None):
     """Shared tail of the sparse stats kernels: row-sort matched
     (node, k-index) slots, segmented scans for per-run (count, min-k),
     the reference saturation test at run ends, and compaction into the
-    (2B, cap) saturated-node list + overflow flag."""
+    (2B, cap) saturated-node list + overflow flag.
+
+    With `kmax` (a static bound on kidx values, exclusive) and node ids
+    small enough that (node << kbits | kidx) fits int31, the row-sort
+    carries ONE packed operand instead of two and the segmented scan one
+    packed plane instead of two — the packed value preserves the
+    (node, kidx) lexicographic order the two-operand stable sort
+    produced, so every downstream quantity (per-run count, min-k, run
+    node) is bit-identical. At N=50k this cut the sat tail ~2x (the
+    (2B, K*D) sort is the tail's floor)."""
     B2, R = node_key.shape
-    node_s, kidx_s = jax.lax.sort(
-        (node_key, kidx_v), dimension=1, num_keys=1)
+    N = seq_lens.shape[0]
+    kbits = max(1, int(kmax - 1).bit_length()) if kmax else None
+    pbits = max(1, int(R - 1).bit_length())
+    packed = (kmax is not None
+              and ((N - 1) << kbits) | (kmax - 1) < 2**31 - 1
+              and ((R - 1) << kbits) | (kmax - 1) < 2**31 - 1)
+    if packed:
+        kmask = jnp.int32((1 << kbits) - 1)
+        v = jnp.where(node_key == _INF, _INF,
+                      (node_key << kbits) | kidx_v)
+        v_s = jax.lax.sort(v, dimension=1)
+        node_s = jnp.where(v_s == _INF, _INF, v_s >> kbits)
+        kidx_s = v_s & kmask
+    else:
+        node_s, kidx_s = jax.lax.sort(
+            (node_key, kidx_v), dimension=1, num_keys=1)
 
     prev = jnp.concatenate(
         [jnp.full((B2, 1), -1, jnp.int32), node_s[:, :-1]], axis=1)
     startf = node_s != prev
     pos = jax.lax.broadcasted_iota(jnp.int32, (B2, R), 1)
-    start_val = jnp.where(startf, pos, -1)
-    startpos, kmin = _segmented_scans(startf, start_val, kidx_s)
+    if packed:
+        # one scan plane: segment-start (pos, kidx) packed together.
+        # kidx at the run start IS the run's min-k (the packed sort
+        # orders kidx ascending within each node run).
+        sv = jnp.where(startf, (pos << kbits) | kidx_s, -1)
+
+        def comb(a, b):
+            fa, sa = a
+            fb, sb = b
+            return (fa | fb, jnp.where(fb, sb, jnp.maximum(sa, sb)))
+
+        _, ps = jax.lax.associative_scan(comb, (startf, sv), axis=1)
+        startpos = ps >> kbits
+        kmin = ps & kmask
+    else:
+        start_val = jnp.where(startf, pos, -1)
+        startpos, kmin = _segmented_scans(startf, start_val, kidx_s)
 
     nxt = jnp.concatenate(
         [node_s[:, 1:], jnp.full((B2, 1), -1, jnp.int32)], axis=1)
@@ -1013,7 +1154,7 @@ def _sparse_sortfill_core(codes, lens, tab_h1, seq_lens, pays,
     kidx = jax.lax.broadcasted_iota(jnp.int32, (B2, R), 1) // depth
     kidx_v = jnp.where(matched, kidx, _INF)
     return _sparse_sat_tail(node_key, kidx_v, lens, seq_lens,
-                            split_len, cap)
+                            split_len, cap, kmax=R // depth)
 
 
 @partial(jax.jit,
@@ -1672,7 +1813,9 @@ def infer_pe_links(ids: Sequence[str], seqs: Sequence[str],
                         "%d bp", sp[0].shape["data"], sp_cutoff)
         except Exception as exc:
             logger.debug("SP table build unavailable: %s", exc)
-    table = build_kmer_table(seqs, split_len, sp=sp)
+    table = build_kmer_table(
+        seqs, split_len, sp=sp,
+        bucket_index=True if probe_mode == "lookup" else "auto")
     N = table.num_nodes
     logger.info("kmer table: %d entries, max_dup=%d, scan_depth=%d, "
                 "%d nodes", table.num_entries, table.max_dup,
