@@ -131,8 +131,8 @@ def balance_split(view: GraphView, contig_dict: dict, pe_info: dict,
         us = [e.source.vid for e in node.in_edges() if e.color == BLACK]
         ws = [e.target.vid for e in node.out_edges() if e.color == BLACK]
         logger.debug("---------------------------------------------")
-        logger.debug("current non trivial branch: %s, in-degree: %s, "
-                     "out-degree: %s", no, len(us), len(ws))
+        logger.debug("resolving non-trivial branch %s (in-degree %s, "
+                     "out-degree %s)", no, len(us), len(ws))
 
         # authenticate if split-able
         if (any(uid in fresh_nodes or pe_info[(uid, uid)] is None
@@ -376,7 +376,7 @@ def trivial_split(view: GraphView, pe_info: dict,
             ines = [ue for ue in inode.in_e if ue.color == BLACK]
             outes = [ve for ve in inode.out_e if ve.color == BLACK]
             if len(ines) > 1 and len(outes) == 1:
-                logger.debug("%s, n->1 split right", ino)
+                logger.debug("%s: fanning the n->1 edge into its right-side copies", ino)
                 _fork_node(view, inode, view.graph.edge(inode, ntnode),
                            ines, True, pe_info, id_mapping)
                 view.nodes.pop(ino, None)
@@ -390,7 +390,7 @@ def trivial_split(view: GraphView, pe_info: dict,
             ines = [ue for ue in onode.in_e if ue.color == BLACK]
             outes = [ve for ve in onode.out_e if ve.color == BLACK]
             if len(ines) == 1 and len(outes) > 1:
-                logger.debug("%s, 1->n split left", ono)
+                logger.debug("%s: fanning the 1->n edge into its left-side copies", ono)
                 _fork_node(view, onode, view.graph.edge(ntnode, onode),
                            outes, False, pe_info, id_mapping)
                 view.nodes.pop(ono, None)
@@ -422,14 +422,14 @@ def global_trivial_split(view: GraphView, logger: logging.Logger = None
             ines = [ue for ue in node.in_e if ue.color == BLACK]
             outes = [ve for ve in node.out_e if ve.color == BLACK]
             if len(ines) == 1 and len(outes) > 1:
-                logger.debug("%s split left", id_)
+                logger.debug("%s: forked on the left side", id_)
                 _fork_node(view, node, ines[0], outes, False, None,
                            id_mapping)
                 view.nodes.pop(id_, None)
                 has_split = True
                 trivial_split_count += 1
             elif len(ines) > 1 and len(outes) == 1:
-                logger.debug("%s split right", id_)
+                logger.debug("%s: forked on the right side", id_)
                 _fork_node(view, node, outes[0], ines, True, None,
                            id_mapping)
                 view.nodes.pop(id_, None)

@@ -46,8 +46,8 @@ def best_matching(view: GraphView, contig_dict: dict, pe_info: dict,
         us = [src.vid for src in node.in_neighbors()]
         ws = [tgt.vid for tgt in node.out_neighbors()]
         logger.debug("---------------------------------------------")
-        logger.debug("current non trivial branch: %s, in-degree: %s, "
-                     "out-degree: %s", no, len(us), len(ws))
+        logger.debug("resolving non-trivial branch %s (in-degree %s, "
+                     "out-degree %s)", no, len(us), len(ws))
         support_contigs = sorted(node_to_contig_dict.get(no, []))
         con_info = {}
         for cno in support_contigs:
@@ -159,21 +159,21 @@ def contig_extension(view: GraphView, contig: List[str], ccov: float,
     final_path: List[Vertex] = [view.nodes[no] for no in contig][1:-1]
 
     curr = view.nodes[contig[-1]]
-    logger.debug("c-t extension")
+    logger.debug("forward walk (contig tail -> sink)")
     while curr is not None and not visited[curr.vid]:
         visited[curr.vid] = True
         final_path.append(curr)
         out_branches = list(curr.out_neighbors())
         if len(out_branches) == 0:
             curr = None
-            logger.debug("Reach the end")
+            logger.debug("dead end, walk stops")
         elif len(out_branches) == 1:
             curr = out_branches[0]
             logger.debug("unique edge, walking on to %s", curr.vid)
         else:
             f_assigned = False
             if curr.vid in full_link and len(final_path) > 1:
-                logger.debug("Curr is Branch")
+                logger.debug("at a linked branch node")
                 curr_links = [view.nodes[wid]
                               for (uid, wid) in full_link[curr.vid].keys()
                               if uid == final_path[-2].vid]
@@ -216,7 +216,7 @@ def contig_extension(view: GraphView, contig: List[str], ccov: float,
                         logger.debug("best matching")
                         curr = bestw
                     else:
-                        logger.debug("Not best match")
+                        logger.debug("mutual-best check failed, no coverage pick")
                         curr = None
                 else:
                     curr = None
@@ -225,7 +225,7 @@ def contig_extension(view: GraphView, contig: List[str], ccov: float,
                 single_bests = sorted(
                     [(onode, onode.dp) for onode in out_branches],
                     key=lambda tp: tp[1], reverse=True)
-                logger.debug("Try last bit: 1st: %s, 2nd: %s, delta: %s, "
+                logger.debug("top-vs-runner-up test: 1st: %s, 2nd: %s, delta: %s, "
                              "cov: %s",
                              (single_bests[0][0].vid, single_bests[0][1]),
                              (single_bests[1][0].vid, single_bests[1][1]),
@@ -235,28 +235,28 @@ def contig_extension(view: GraphView, contig: List[str], ccov: float,
                     logger.debug("top-vs-runner-up coverage test passed")
                     curr = single_bests[0][0]
                 else:
-                    logger.debug("Last bit fail")
+                    logger.debug("top-vs-runner-up test failed, walk stops")
 
     unode = view.nodes[contig[0]]
     if len(contig) == 1 and final_path[-1] not in unode.in_neighbors():
         visited[contig[0]] = False
         final_path.pop(0)
     curr = unode
-    logger.debug("s-c extension")
+    logger.debug("backward walk (source -> contig head)")
     while curr is not None and not visited[curr.vid]:
         visited[curr.vid] = True
         final_path.insert(0, curr)
         in_branches = list(curr.in_neighbors())
         if len(in_branches) == 0:
             curr = None
-            logger.debug("Reach the end")
+            logger.debug("dead end, walk stops")
         elif len(in_branches) == 1:
             curr = in_branches[0]
             logger.debug("unique edge, walking on to %s", curr.vid)
         else:
             f_assigned = False
             if curr.vid in full_link and len(final_path) > 1:
-                logger.debug("Curr is Branch")
+                logger.debug("at a linked branch node")
                 curr_links = [view.nodes[uid]
                               for (uid, wid) in full_link[curr.vid].keys()
                               if wid == final_path[1].vid]
@@ -299,7 +299,7 @@ def contig_extension(view: GraphView, contig: List[str], ccov: float,
                         logger.debug("best matching")
                         curr = bestu
                     else:
-                        logger.debug("Not best match")
+                        logger.debug("mutual-best check failed, no coverage pick")
                         curr = None
                 else:
                     logger.debug("no link and branching topology - walk ends here")
@@ -308,7 +308,7 @@ def contig_extension(view: GraphView, contig: List[str], ccov: float,
                 single_bests = sorted(
                     [(inode, inode.dp) for inode in in_branches],
                     key=lambda tp: tp[1], reverse=True)
-                logger.debug("Try last bit: 1st: %s, 2nd: %s, delta: %s, "
+                logger.debug("top-vs-runner-up test: 1st: %s, 2nd: %s, delta: %s, "
                              "cov: %s",
                              (single_bests[0][0].vid, single_bests[0][1]),
                              (single_bests[1][0].vid, single_bests[1][1]),
@@ -318,7 +318,7 @@ def contig_extension(view: GraphView, contig: List[str], ccov: float,
                     logger.debug("top-vs-runner-up coverage test passed")
                     curr = single_bests[0][0]
                 else:
-                    logger.debug("Last bit fail")
+                    logger.debug("top-vs-runner-up test failed, walk stops")
     return final_path
 
 
@@ -332,7 +332,7 @@ def final_extension(view: GraphView, contig: List[str], full_link: dict,
         visited[no] = True
     curr = view.nodes[contig[-1]]
     final_path: List[Vertex] = [view.nodes[no] for no in contig][1:-1]
-    logger.debug("c-t extension")
+    logger.debug("forward walk (contig tail -> sink)")
     while curr is not None and not visited[curr.vid]:
         visited[curr.vid] = True
         final_path.append(curr)
@@ -358,7 +358,7 @@ def final_extension(view: GraphView, contig: List[str], full_link: dict,
         visited[contig[0]] = False
         final_path.pop(0)
     curr = unode
-    logger.debug("s-c extension")
+    logger.debug("backward walk (source -> contig head)")
     while curr is not None and not visited[curr.vid]:
         visited[curr.vid] = True
         final_path.insert(0, curr)

@@ -51,6 +51,13 @@ def build_parser() -> argparse.ArgumentParser:
                         help="reverse FASTQ of the read pairs")
     parser.add_argument("--pe-batch-size", dest="pe_batch_size",
                         default=16384, type=int, help=argparse.SUPPRESS)
+    parser.add_argument("--pe-files", dest="pe_files", default="auto",
+                        choices=["auto", "full", "sparse", "off"],
+                        help="aln/pe_info + aln/st_info format: 'full' = "
+                             "the reference's N^2-line files, 'sparse' = "
+                             "nonzero u:v:count lines only (loads "
+                             "identically), 'auto' = full up to 5,000 "
+                             "nodes then sparse [default: auto]")
     parser.add_argument("--resume", dest="resume", action="store_true",
                         default=False,
                         help="resume from the last completed stage "

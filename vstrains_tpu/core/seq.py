@@ -130,10 +130,15 @@ def prefix_hash_weights(L: int, T: int):
     one cached table per L serves every T <= its length via views
     (geometric growth on miss). The table build calls this at the full
     concatenation length — without the cache, recomputing the ~10M-term
-    power tables per strand cost ~2.5 s at metaSPAdes scale."""
+    power tables per strand cost ~2.5 s at metaSPAdes scale.
+
+    The returned arrays are read-only VIEWS into the cache (mutating a
+    result would otherwise corrupt every later hash). Worst-case
+    retention: 4 arrays x cap x 4 bytes per distinct L, up to ~1 GB at
+    the 64M cap, for process lifetime — acceptable because real
+    pipelines use one or two window lengths."""
     K = T - L + 1
-    ent = _PREFIX_WEIGHTS_CACHE.get(L) if T <= _PREFIX_WEIGHTS_CACHE_MAX_T \
-        else None
+    ent = _PREFIX_WEIGHTS_CACHE.get(L)
     if ent is None or ent[0] < T:
         cap_T = T if T > _PREFIX_WEIGHTS_CACHE_MAX_T else max(
             T, 2 * (ent[0] if ent else 0))
@@ -141,10 +146,14 @@ def prefix_hash_weights(L: int, T: int):
         for mult in (HASH_MULT_1, HASH_MULT_2):
             w = _inv_pows(mult, cap_T)
             pows = _mult_pows(mult, cap_T + L)
+            w.setflags(write=False)
+            pows.setflags(write=False)
             tabs.append((w, pows))
         ent = (cap_T, tabs)
-        if T <= _PREFIX_WEIGHTS_CACHE_MAX_T:
-            _PREFIX_WEIGHTS_CACHE[L] = ent
+        # store oversized entries too: an entry built past the cap can
+        # still serve every later call (views are cheap); the cap only
+        # bounds what geometric DOUBLING may allocate beyond need
+        _PREFIX_WEIGHTS_CACHE[L] = ent
     return [(w[:T], pows[L - 1: L - 1 + K]) for w, pows in ent[1]]
 
 

@@ -326,15 +326,25 @@ def run(args, logger: logging.Logger = None) -> int:
                 ids, seqs, reads, ksize,
                 batch_size=getattr(args, "pe_batch_size", 16384),
                 logger=logger)
-            if len(ids) <= 5000:
+            # aln file format: the reference's N^2-line files degenerate
+            # to their nonzero lines on load (docs/DIVERGENCES.md #17),
+            # so 'auto' switches to the sparse writer above 5,000 nodes
+            # instead of emitting hundreds-of-GB of zeros
+            pe_files = getattr(args, "pe_files", "auto")
+            if pe_files == "auto":
+                pe_files = "full" if len(ids) <= 5000 else "sparse"
+            if pe_files == "full":
                 write_pe_files(pe_result, f"{temp_dir}/aln/pe_info",
                                f"{temp_dir}/aln/st_info")
-                logger.info("PE link matrices written")
+                logger.info("PE link matrices written (full format)")
+            elif pe_files == "sparse":
+                from vstrains_tpu.ops.pe_infer import write_pe_files_sparse
+                write_pe_files_sparse(pe_result, f"{temp_dir}/aln/pe_info",
+                                      f"{temp_dir}/aln/st_info")
+                logger.info("PE link matrices written (sparse format, "
+                            "N=%d nodes)", len(ids))
             else:
-                # the reference file format is N^2 lines — pointless and
-                # enormous at this scale; links live in the checkpoint
-                logger.info("aln/pe_info skipped (N=%d nodes: %d-line "
-                            "files)", len(ids), len(ids) ** 2)
+                logger.info("aln/pe_info skipped (--pe-files off)")
             pe_info, dcpy_pe_info = pe_info_sparse_from_result(
                 view1.nodes.keys(), pe_result)
             ckpt.save_stage(temp_dir, "pe_links", {
