@@ -19,6 +19,7 @@ setup(
         "console_scripts": [
             "vstrains-tpu=vstrains_tpu.cli:main",
             "vstrains-tpu-pe=vstrains_tpu.pe_cli:main",
+            "vstrains-tpu-prewarm=vstrains_tpu.prewarm:main",
         ],
     },
 )

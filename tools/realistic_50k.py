@@ -131,33 +131,38 @@ def main():
     rec["table_build_seconds"] = round(build_s, 2)
     print(f"# table build: {build_s:.1f}s ({tbl.num_entries} entries)",
           file=sys.stderr)
-    del tbl
 
+    # the table is built ONCE and passed in, so the engine timing below
+    # is pure streaming (the old version re-built it inside the timed
+    # region and subtracted a separately-measured build — on a noisy
+    # 4-core host the two builds can differ 2-3x, which once produced a
+    # negative "engine" rate)
     warm = ReadPairBatch(fc[:bs], fl[:bs], rc[:bs], rl[:bs], 0, 0, bs)
     t0 = time.time()
-    infer_pe_links(ids, refs, warm, k, batch_size=bs)
+    infer_pe_links(ids, refs, warm, k, batch_size=bs, table=tbl)
     rec["warmup_seconds"] = round(time.time() - t0, 2)
     print(f"# warmup: {rec['warmup_seconds']}s", file=sys.stderr)
 
     batch = ReadPairBatch(fc, fl, rc, rl, 0, 0, n_pairs)
     t0 = time.time()
-    res = infer_pe_links(ids, refs, batch, k, batch_size=bs)
+    res = infer_pe_links(ids, refs, batch, k, batch_size=bs, table=tbl)
     dt = time.time() - t0
     assert isinstance(res, PESparseResult)
     rec["engine_mode"] = "sparse"
-    rec["e2e_seconds"] = round(dt, 2)
-    rec["e2e_reads_per_s"] = round(n_pairs / dt, 1)
-    rec["engine_reads_per_s"] = round(n_pairs / (dt - build_s), 1)
+    rec["engine_seconds"] = round(dt, 2)
+    rec["engine_reads_per_s"] = round(n_pairs / dt, 1)
+    rec["e2e_seconds"] = round(dt + build_s, 2)
+    rec["e2e_reads_per_s"] = round(n_pairs / (dt + build_s), 1)
     rec["link_pairs"] = int(res.pair_keys.shape[0])
-    print(f"# engine: {rec['e2e_reads_per_s']} reads/s E2E "
-          f"({rec['engine_reads_per_s']} after table build)",
+    print(f"# engine: {rec['engine_reads_per_s']} reads/s "
+          f"({rec['e2e_reads_per_s']} E2E incl. table build)",
           file=sys.stderr)
 
     # ---- 2. oracle subsample at FULL N=50k ---------------------------
     sub = ReadPairBatch(fc[:oracle_pairs], fl[:oracle_pairs],
                         rc[:oracle_pairs], rl[:oracle_pairs],
                         0, 0, oracle_pairs)
-    sub_res = infer_pe_links(ids, refs, sub, k, batch_size=bs)
+    sub_res = infer_pe_links(ids, refs, sub, k, batch_size=bs, table=tbl)
     ope, ost = sparse_oracle(refs, fwd[:oracle_pairs], rve[:oracle_pairs],
                              k, n_nodes)
     same = (coo_to_dict(sub_res.pair_keys, sub_res.pair_counts) == ope

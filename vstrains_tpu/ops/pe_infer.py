@@ -1189,25 +1189,53 @@ def _stats_sparse_sortfill_wire(wire, tab_h1, seq_lens, pays, T: int,
                                  node_bits, stride)
 
 
+def _ragged_cross_np(av, ao, bv, bo, na, nb, N, triu=False):
+    """Cross-product link keys over ragged per-read node lists.
+
+    (av, ao, na) are the flattened values / row offsets / row counts of
+    one side; work is O(actual pairs), not O(B * cap^2). With triu only
+    position pairs i <= j survive (ascending same-end pairs, diagonal
+    included)."""
+    per = (na * nb).astype(np.int64)
+    P = int(per.sum())
+    if not P:
+        return np.zeros(0, np.int64)
+    starts = np.zeros(len(per), np.int64)
+    np.cumsum(per[:-1], out=starts[1:])
+    row = np.repeat(np.arange(len(per)), per)
+    local = np.arange(P, dtype=np.int64) - starts[row]
+    i = local // nb[row]
+    j = local % nb[row]
+    keys = av[ao[row] + i] * N + bv[bo[row] + j]
+    if triu:
+        keys = keys[i <= j]
+    return keys
+
+
 def _sparse_pairs_np(f_nodes: np.ndarray, r_nodes: np.ndarray, N: int):
     """COO link keys for one batch from compacted saturated node lists.
 
     Mirrors the reference pair loops (PE_Inference.py:174-188): PE pairs
     are the full fwd x rve cross product; same-end pairs are ascending
-    (u at-or-before v in the per-read list, diagonal included)."""
+    (u at-or-before v in the per-read list, diagonal included). The
+    expansion is ragged — a typical read saturates 1-2 nodes, so the
+    former dense (B, cap, cap) product did ~250x the needed work and was
+    the large-N drain bottleneck (dense ~1.3s vs ragged ~20ms/batch)."""
     fm = f_nodes >= 0
     rm = r_nodes >= 0
-    pe_keys = (f_nodes.astype(np.int64)[:, :, None] * N
-               + r_nodes.astype(np.int64)[:, None, :])
-    pe = pe_keys[fm[:, :, None] & rm[:, None, :]]
-    C = f_nodes.shape[1]
-    iu, ju = np.triu_indices(C)
-    shorts = []
-    for nodes, mask in ((f_nodes, fm), (r_nodes, rm)):
-        a = nodes[:, iu].astype(np.int64)
-        b = nodes[:, ju].astype(np.int64)
-        mk = mask[:, iu] & mask[:, ju]
-        shorts.append((a * N + b)[mk])
+    nf = fm.sum(1).astype(np.int64)
+    nr = rm.sum(1).astype(np.int64)
+    fv = f_nodes[fm].astype(np.int64)
+    rv = r_nodes[rm].astype(np.int64)
+    fo = np.zeros(len(nf), np.int64)
+    np.cumsum(nf[:-1], out=fo[1:])
+    ro = np.zeros(len(nr), np.int64)
+    np.cumsum(nr[:-1], out=ro[1:])
+    pe = _ragged_cross_np(fv, fo, rv, ro, nf, nr, N)
+    shorts = [
+        _ragged_cross_np(fv, fo, fv, fo, nf, nf, N, triu=True),
+        _ragged_cross_np(rv, ro, rv, ro, nr, nr, N, triu=True),
+    ]
     return pe, np.concatenate(shorts)
 
 
@@ -1931,6 +1959,7 @@ def infer_pe_links(ids: Sequence[str], seqs: Sequence[str],
                    probe_mode: str = "sort",
                    stats_mode: str = "auto",
                    force_backend: bool = False,
+                   table: Optional[KmerTable] = None,
                    logger: logging.Logger = None):
     """End-to-end PE-link inference for pre-loaded reads.
 
@@ -1947,22 +1976,29 @@ def infer_pe_links(ids: Sequence[str], seqs: Sequence[str],
     """
     logger = logger or _LOG
     split_len = kmer_size + 1
-    # long node sequences hash via the sequence-parallel halo kernel
-    # (sharded over the device mesh); short ones on host
-    sp = None
-    sp_cutoff = 8192
-    if (seqs and max((len(s) for s in seqs), default=0) >= sp_cutoff
-            and jax.device_count() > 1):
-        try:
-            from vstrains_tpu.parallel.mesh import make_mesh
-            sp = (make_mesh(model=1), sp_cutoff)
-            logger.info("SP table build over %d device(s) for nodes >= "
-                        "%d bp", sp[0].shape["data"], sp_cutoff)
-        except Exception as exc:
-            logger.debug("SP table build unavailable: %s", exc)
-    table = build_kmer_table(
-        seqs, split_len, sp=sp,
-        bucket_index=True if probe_mode == "lookup" else "auto")
+    if table is None:
+        # long node sequences hash via the sequence-parallel halo kernel
+        # (sharded over the device mesh); short ones on host
+        sp = None
+        sp_cutoff = 8192
+        if (seqs and max((len(s) for s in seqs), default=0) >= sp_cutoff
+                and jax.device_count() > 1):
+            try:
+                from vstrains_tpu.parallel.mesh import make_mesh
+                sp = (make_mesh(model=1), sp_cutoff)
+                logger.info("SP table build over %d device(s) for nodes "
+                            ">= %d bp", sp[0].shape["data"], sp_cutoff)
+            except Exception as exc:
+                logger.debug("SP table build unavailable: %s", exc)
+        table = build_kmer_table(
+            seqs, split_len, sp=sp,
+            bucket_index=True if probe_mode == "lookup" else "auto")
+    else:
+        assert table.split_len == split_len, (
+            "prebuilt table k mismatch")
+        if probe_mode == "lookup" and table.bucket_starts is None:
+            raise ValueError("probe_mode='lookup' needs a table built "
+                             "with bucket_index=True")
     N = table.num_nodes
     logger.info("kmer table: %d entries, max_dup=%d, scan_depth=%d, "
                 "%d nodes", table.num_entries, table.max_dup,
