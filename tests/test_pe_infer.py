@@ -893,3 +893,28 @@ def test_bucket_index_auto_skip(monkeypatch):
                                   small.bucket_starts)
     # the probe APIs treat a missing index as "use the sort join"
     np.testing.assert_array_equal(skipped.h1_biased, small.h1_biased)
+
+
+def test_sparse_two_tier_full_pull_matches_dense():
+    """Reads saturating more nodes than the always-pulled head
+    (_SPARSE_HEAD=4) but within cap force the drain's full-list pull
+    tier; results must still match the dense path exactly."""
+    rng = np.random.RandomState(11)
+    k = 13
+    # 8 identical nodes: every matching read saturates all 8 (> head 4,
+    # <= starting cap 16, so no enlarge-retry — pure full-pull tier)
+    seq = _random_refs(rng, 1, [90])[0]
+    refs = [seq] * 8
+    read = seq[10:45]
+    batch = _make_batch([read] * 12, [read] * 12, k + 1)
+    ids = [str(i) for i in range(8)]
+    dense = infer_pe_links(ids, refs, batch, k, batch_size=8,
+                           stats_mode="dense")
+    sparse = infer_pe_links(ids, refs, batch, k, batch_size=8,
+                            stats_mode="sparse")
+    np.testing.assert_array_equal(
+        _coo_to_dense(sparse.pair_keys, sparse.pair_counts, 8),
+        dense.node_mat)
+    np.testing.assert_array_equal(
+        _coo_to_dense(sparse.short_keys, sparse.short_counts, 8),
+        dense.short_mat)

@@ -106,7 +106,7 @@ def main():
     def v_sparse_classic(codes, lens):
         q1, h2qi, valid, lo = P._hash_join_kernel(codes, lens, tab_h1,
                                                   split_len=split_len)
-        sat, ovf = P._stats_sparse_kernel(
+        _hd, sat, ovf = P._stats_sparse_kernel(
             q1, h2qi, valid, lo, lens, tab_h1, tab_h2, tab_node,
             seq_lens, split_len=split_len, depth=depth, cap=cap)
         return _scalar(sat) + _scalar(ovf)
@@ -130,7 +130,7 @@ def main():
         D = int(pays.shape[1])
 
         def v_sparse_sortfill(codes, lens):
-            sat, ovf = P._sparse_sortfill_core(
+            _hd, sat, ovf = P._sparse_sortfill_core(
                 codes, lens, tab_h1, seq_lens, pays, split_len,
                 D, cap, N, "cummin", node_bits)
             return _scalar(sat) + _scalar(ovf)

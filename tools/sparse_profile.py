@@ -78,7 +78,7 @@ def main():
 
     @partial(jax.jit, static_argnames=("stride",))
     def v_sat(codes, lens, tab_h1, pays, salt, stride):
-        out, ovf = P._sparse_sortfill_core(
+        _hd, out, ovf = P._sparse_sortfill_core(
             codes + salt - salt, lens, tab_h1, seq_lens, pays,
             split_len, D, cap, n_nodes, "cummin", node_bits,
             stride=stride)

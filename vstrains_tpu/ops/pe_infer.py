@@ -1057,8 +1057,9 @@ def _stats_sparse_kernel(q1, h2qi, valid, lo, lens, tab_h1, tab_h2,
     kidx = jax.lax.broadcasted_iota(jnp.int32, (B2, K, depth), 1)
     kidx_v = jnp.where(m, kidx, _INF).reshape(B2, R)
 
-    return _sparse_sat_tail(node_key, kidx_v, lens, seq_lens,
-                            split_len, cap, kmax=K)
+    out, overflow, counts = _sparse_sat_tail(
+        node_key, kidx_v, lens, seq_lens, split_len, cap, kmax=K)
+    return _sat_two_tier(out, overflow, counts, cap)
 
 
 def _sparse_sat_tail(node_key, kidx_v, lens, seq_lens, split_len: int,
@@ -1137,7 +1138,23 @@ def _sparse_sat_tail(node_key, kidx_v, lens, seq_lens, split_len: int,
     tgt = jnp.where(ok & (sidx < cap), sidx, cap)
     out = jnp.full((B2, cap), -1, jnp.int32).at[row, tgt].set(
         node_s, mode="drop")
-    return out, overflow
+    counts = sidx[:, -1] + 1
+    return out, overflow, counts
+
+
+_SPARSE_HEAD = 4  # saturated-node columns in the always-pulled head
+
+
+def _sat_two_tier(out, overflow, counts, cap: int):
+    """(head, full, overflow): the head carries the first _SPARSE_HEAD
+    node columns plus the per-read saturated count, so the host drain
+    pulls ~cap/HEAD x less D2H in the common case (a read rarely
+    saturates more than 2 nodes; measured 74 ms per 2 MB batch result
+    over the relay tunnel) and fetches the full (2B, cap) list only for
+    batches where some count exceeds the head."""
+    H = min(_SPARSE_HEAD, cap)
+    head = jnp.concatenate([out[:, :H], counts[:, None]], axis=1)
+    return head, out, overflow
 
 
 def _sparse_sortfill_core(codes, lens, tab_h1, seq_lens, pays,
@@ -1152,8 +1169,10 @@ def _sparse_sortfill_core(codes, lens, tab_h1, seq_lens, pays,
     node_key = jnp.where(matched, node_t, _INF)
     kidx = jax.lax.broadcasted_iota(jnp.int32, (B2, R), 1) // depth
     kidx_v = jnp.where(matched, kidx, _INF)
-    return _sparse_sat_tail(node_key, kidx_v, lens, seq_lens,
-                            split_len, cap, kmax=R // depth)
+    out, overflow, counts = _sparse_sat_tail(
+        node_key, kidx_v, lens, seq_lens, split_len, cap,
+        kmax=R // depth)
+    return _sat_two_tier(out, overflow, counts, cap)
 
 
 @partial(jax.jit,
@@ -2331,24 +2350,43 @@ def _infer_pe_links_sparse(ids, table: KmerTable, reads: ReadPairBatch,
     Tr = max(reads.fwd_codes.shape[1], reads.rve_codes.shape[1])
     # materializing sat_nodes right after its dispatch would sync the
     # stream per batch (no overlap of host COO work, transfer, and
-    # device compute); a consumer thread drains device results into the
+    # device compute); consumer threads drain device results into the
     # COO lists behind the dispatch front (numpy releases the GIL, so
     # the pair expansion overlaps both the next dispatch's wire packing
-    # and device compute), bounded to 32 device-resident results
+    # and device compute), bounded to 32 device-resident results.
+    # SEVERAL drainers run because each result pull pays the relay
+    # tunnel's round trip — one serial puller caps the pipeline at
+    # (compute + RTT + transfer) per batch, while concurrent pulls hide
+    # the RTT behind each other (results are integer COO chunks merged
+    # by _merge_coo, so drain order is irrelevant; list.append is
+    # GIL-atomic)
     import queue as _queue
     import threading as _threading
     work: "_queue.Queue" = _queue.Queue(maxsize=32)
     drain_err: List[BaseException] = []
+    n_drainers = max(1, min(4, (os.cpu_count() or 2) - 1)) \
+        if os.environ.get("VSTRAINS_SPARSE_DRAINERS", "") == "" \
+        else max(1, int(os.environ["VSTRAINS_SPARSE_DRAINERS"]))
 
     def _drain_worker():
+        H = _SPARSE_HEAD
         while True:
             item = work.get()
             if item is None:
                 return
-            sat_nodes, ovf = item
+            head, sat_full, ovf = item
             try:
                 ovfs.append(ovf)
-                sn = np.asarray(sat_nodes)
+                hn = np.asarray(head)
+                # two-tier pull: the head (first H node columns + count)
+                # is ~cap/H x smaller than the full list; the full
+                # (2B, cap) result transfers only when some read in the
+                # batch saturated past the head (rare — see
+                # _sat_two_tier)
+                if hn[:, H].max(initial=0) <= H:
+                    sn = hn[:, :H]
+                else:
+                    sn = np.asarray(sat_full)
                 b = sn.shape[0] // 2
                 pe, st = _sparse_pairs_np(sn[:b], sn[b:], N)
                 for arr, kl, cl in ((pe, pe_k, pe_c), (st, st_k, st_c)):
@@ -2358,20 +2396,22 @@ def _infer_pe_links_sparse(ids, table: KmerTable, reads: ReadPairBatch,
             except BaseException as exc:  # surface in the driver thread
                 drain_err.append(exc)
 
-    drainer = _threading.Thread(target=_drain_worker, daemon=True)
-    drainer.start()
+    drainers = [_threading.Thread(target=_drain_worker, daemon=True)
+                for _ in range(n_drainers)]
+    for d in drainers:
+        d.start()
 
     for kind, payload in _wire_batches(reads, batch_size,
                                        force_bytes=not sortfill):
         if sortfill:
             if kind == "wire":
-                sat_nodes, ovf = _stats_sparse_sortfill_wire(
+                head, sat_nodes, ovf = _stats_sparse_sortfill_wire(
                     payload, tab_h1, seq_lens, pays, T=Tr,
                     split_len=split_len, depth=int(pays.shape[1]),
                     cap=cap, num_nodes=N, fill=fill,
                     node_bits=node_bits, stride=stride)
             else:
-                sat_nodes, ovf = _stats_sparse_sortfill(
+                head, sat_nodes, ovf = _stats_sparse_sortfill(
                     *payload, tab_h1, seq_lens, pays,
                     split_len=split_len, depth=int(pays.shape[1]),
                     cap=cap, num_nodes=N, fill=fill,
@@ -2387,12 +2427,14 @@ def _infer_pe_links_sparse(ids, table: KmerTable, reads: ReadPairBatch,
             else:
                 q1, h2qi, valid, lo = _hash_join_kernel(
                     codes, lens, tab_h1, split_len=split_len)
-            sat_nodes, ovf = _stats_sparse_kernel(
+            head, sat_nodes, ovf = _stats_sparse_kernel(
                 q1, h2qi, valid, lo, lens, tab_h1, tab_h2, tab_node,
                 seq_lens, split_len=split_len, depth=depth, cap=cap)
-        work.put((sat_nodes, ovf))
-    work.put(None)
-    drainer.join()
+        work.put((head, sat_nodes, ovf))
+    for _ in drainers:
+        work.put(None)
+    for d in drainers:
+        d.join()
     if drain_err:
         raise drain_err[0]
 
