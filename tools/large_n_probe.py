@@ -37,7 +37,7 @@ def main():
     print(f"# backend={jax.default_backend()} nodes={n_nodes} "
           f"pairs={n_pairs}", file=sys.stderr)
 
-    bs = 16384
+    bs = int(os.environ.get("PROBE_BS", 16384))
     warm = ReadPairBatch(fc[:bs], fl[:bs], rc[:bs], rl[:bs], 0, 0, bs)
     batch = ReadPairBatch(fc, fl, rc, rl, 0, 0, n_pairs)
     modes = os.environ.get("PROBE_MODES", "sort").split(",")

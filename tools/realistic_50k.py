@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """N=50,000 realistic benchmark + correctness lattice (round-3 deliverable).
 
-Three pieces, one JSON (default realistic_r3_tpu.json):
+Three pieces, one JSON (default realistic_r4_tpu.json):
 
 1. ENGINE — 50k-node synthetic graph (14.5M-entry table), 1M read
    pairs, timed end-to-end on this backend including the in-driver
@@ -100,7 +100,7 @@ def main():
     ref_nodes = int(os.environ.get("R50K_REF_NODES", 5000))
     ref_pairs = int(os.environ.get("R50K_REF_PAIRS", 20_000))
     out_path = os.environ.get(
-        "R50K_OUT", os.path.join(REPO, "realistic_r3_tpu.json"))
+        "R50K_OUT", os.path.join(REPO, "realistic_r4_tpu.json"))
 
     import jax
     from bench import synth_workload
@@ -122,7 +122,7 @@ def main():
     ids = [str(i) for i in range(n_nodes)]
     fc, fl = _pack([s.encode() for s in fwd])
     rc, rl = _pack([s.encode() for s in rve])
-    bs = 16384
+    bs = int(os.environ.get("R50K_BS", 16384))
 
     t0 = time.time()
     tbl = build_kmer_table(refs, k + 1)
