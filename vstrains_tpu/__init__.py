@@ -19,3 +19,13 @@ Architecture (see docs/ARCHITECTURE.md):
 __version__ = "0.1.0"
 
 from vstrains_tpu.core.graph import AssemblyGraph  # noqa: F401
+
+# Activate the persistent XLA compilation cache at import: env-var-only
+# activation silently fails when sitecustomize pre-imports jax (see
+# utils/jaxcache.py), and a missed activation costs each process 3-10
+# minutes of relay kernel recompiles. Idempotent, honors an explicit
+# JAX_COMPILATION_CACHE_DIR value, and never raises.
+from vstrains_tpu.utils.jaxcache import enable_persistent_cache as _epc
+
+_epc()
+del _epc

@@ -127,29 +127,21 @@ def _prefetch_pe_compile(ids, seqs, ksize, batch_size, fwd_path, logger):
 
 def _enable_compilation_cache(logger) -> None:
     """Persistent XLA compilation cache: kernel compiles (expensive on TPU,
-    especially via remote-compile tunnels) amortize across runs."""
-    import os
+    especially via remote-compile tunnels) amortize across runs. See
+    utils/jaxcache.py for the env-var trap this avoids."""
+    from vstrains_tpu.utils.jaxcache import enable_persistent_cache
 
     import jax
-    if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
-        return
-    try:
-        cache_dir = os.path.join(os.path.expanduser("~"), ".cache",
-                                 "vstrains_tpu_jax")
-        os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-        if jax.default_backend() not in ("cpu",):
-            logger.info(
-                "accelerator kernels compile per shape (tens of seconds "
-                "to minutes each). The persistent cache at %s amortizes "
-                "repeats when the PJRT backend supports executable "
-                "serialization; relay-tunneled TPU backends may not, in "
-                "which case every process pays the compile once (tiny "
-                "workloads automatically fall back to the CPU backend "
-                "instead).", cache_dir)
-    except Exception as e:  # non-fatal
-        logger.debug("compilation cache unavailable: %s", e)
+    cache_dir = enable_persistent_cache(logger)
+    if cache_dir and jax.default_backend() not in ("cpu",):
+        logger.info(
+            "accelerator kernels compile per shape (tens of seconds "
+            "to minutes each). The persistent cache at %s amortizes "
+            "repeats when the PJRT backend supports executable "
+            "serialization; relay-tunneled TPU backends may not, in "
+            "which case every process pays the compile once (tiny "
+            "workloads automatically fall back to the CPU backend "
+            "instead).", cache_dir)
 
 
 def _report_cache_persistence(run_start: float, logger) -> None:
