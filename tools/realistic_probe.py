@@ -106,10 +106,10 @@ def main():
     def v_sparse_classic(codes, lens):
         q1, h2qi, valid, lo = P._hash_join_kernel(codes, lens, tab_h1,
                                                   split_len=split_len)
-        _hd, sat, ovf = P._stats_sparse_kernel(
+        _hd, sat = P._stats_sparse_kernel(
             q1, h2qi, valid, lo, lens, tab_h1, tab_h2, tab_node,
             seq_lens, split_len=split_len, depth=depth, cap=cap)
-        return _scalar(sat) + _scalar(ovf)
+        return _scalar(sat) + _scalar(_hd[-1, 0])
 
     variants["sparse_classic"] = v_sparse_classic
 
@@ -130,10 +130,10 @@ def main():
         D = int(pays.shape[1])
 
         def v_sparse_sortfill(codes, lens):
-            _hd, sat, ovf = P._sparse_sortfill_core(
+            _hd, sat = P._sparse_sortfill_core(
                 codes, lens, tab_h1, seq_lens, pays, split_len,
                 D, cap, N, "cummin", node_bits)
-            return _scalar(sat) + _scalar(ovf)
+            return _scalar(sat) + _scalar(_hd[-1, 0])
 
         variants["sparse_sortfill"] = v_sparse_sortfill
 

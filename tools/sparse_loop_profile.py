@@ -70,7 +70,7 @@ def main():
             ReadPairBatch(fc[:bs], fl[:bs], rc[:bs], rl[:bs], 0, 0, bs),
             bs):
         assert kind == "wire"
-        hd, sat, ovf = dispatch(payload)
+        hd, sat = dispatch(payload)
         np.asarray(sat)
 
     acc = {"pack": 0.0, "h2d+dispatch": 0.0, "sync": 0.0, "drain": 0.0}
@@ -87,7 +87,7 @@ def main():
         kind, payload = item
         assert kind == "wire"
         t0 = time.time()
-        hd, sat, ovf = dispatch(jnp.asarray(payload))
+        hd, sat = dispatch(jnp.asarray(payload))
         acc["h2d+dispatch"] += time.time() - t0
         t0 = time.time()
         sn = np.asarray(sat)

@@ -1146,15 +1146,20 @@ _SPARSE_HEAD = 4  # saturated-node columns in the always-pulled head
 
 
 def _sat_two_tier(out, overflow, counts, cap: int):
-    """(head, full, overflow): the head carries the first _SPARSE_HEAD
-    node columns plus the per-read saturated count, so the host drain
-    pulls ~cap/HEAD x less D2H in the common case (a read rarely
-    saturates more than 2 nodes; measured 74 ms per 2 MB batch result
-    over the relay tunnel) and fetches the full (2B, cap) list only for
-    batches where some count exceeds the head."""
+    """(head, full): the head carries the first _SPARSE_HEAD node
+    columns plus the per-read saturated count, so the host drain pulls
+    ~cap/HEAD x less D2H in the common case (a read rarely saturates
+    more than 2 nodes; measured 74 ms per 2 MB batch result over the
+    relay tunnel) and fetches the full (2B, cap) list only for batches
+    where some count exceeds the head. The cap-overflow flag rides as
+    one extra row appended to the head — materializing it as a separate
+    per-batch scalar cost a full tunnel round trip each (measured: 32
+    scalar pulls explained a 17s-vs-7s engine gap at N=50k)."""
     H = min(_SPARSE_HEAD, cap)
     head = jnp.concatenate([out[:, :H], counts[:, None]], axis=1)
-    return head, out, overflow
+    ovf_row = jnp.zeros((1, H + 1), jnp.int32).at[0, 0].set(
+        overflow.astype(jnp.int32))
+    return jnp.concatenate([head, ovf_row], axis=0), out
 
 
 def _sparse_sortfill_core(codes, lens, tab_h1, seq_lens, pays,
@@ -2348,21 +2353,27 @@ def _infer_pe_links_sparse(ids, table: KmerTable, reads: ReadPairBatch,
     pe_k, pe_c, st_k, st_c = [], [], [], []
     ovfs = []
     Tr = max(reads.fwd_codes.shape[1], reads.rve_codes.shape[1])
-    # materializing sat_nodes right after its dispatch would sync the
-    # stream per batch (no overlap of host COO work, transfer, and
-    # device compute); consumer threads drain device results into the
-    # COO lists behind the dispatch front (numpy releases the GIL, so
-    # the pair expansion overlaps both the next dispatch's wire packing
-    # and device compute), bounded to 32 device-resident results.
-    # SEVERAL drainers run because each result pull pays the relay
-    # tunnel's round trip — one serial puller caps the pipeline at
-    # (compute + RTT + transfer) per batch, while concurrent pulls hide
-    # the RTT behind each other (results are integer COO chunks merged
-    # by _merge_coo, so drain order is irrelevant; list.append is
-    # GIL-atomic)
+    # Windowed two-phase drain. Materializing a result right after its
+    # dispatch syncs the stream per batch; but pulling results WHILE
+    # later batches are being dispatched is also wrong on relay-attached
+    # devices: each pull occupies the tunnel connection for an RTT +
+    # transfer, dispatch RPCs queue behind it, and the device starves
+    # between batches (measured head-to-head in one process at N=50k:
+    # interleaved pulls 28-33k reads/s vs dispatch-then-pull 72k — full
+    # device rate). So the loop dispatches a window of batches AHEAD,
+    # and only when 2 windows are in flight does it stop dispatching and
+    # let the drainers pull the oldest window — those pulls overlap the
+    # newest window's already-queued device compute, never a dispatch.
+    # SEVERAL drainers pull concurrently to hide the per-pull RTT
+    # (results are integer COO chunks merged by _merge_coo, so drain
+    # order is irrelevant; list.append is GIL-atomic). Device-resident
+    # footprint is bounded by 2 windows (~6 MB/batch at the default
+    # sizes). The numpy pair expansion releases the GIL, so it also
+    # overlaps the next window's wire packing.
     import queue as _queue
     import threading as _threading
-    work: "_queue.Queue" = _queue.Queue(maxsize=32)
+    window = max(1, int(os.environ.get("VSTRAINS_DRAIN_WINDOW", "32")))
+    work: "_queue.Queue" = _queue.Queue()
     drain_err: List[BaseException] = []
     n_drainers = max(1, min(4, (os.cpu_count() or 2) - 1)) \
         if os.environ.get("VSTRAINS_SPARSE_DRAINERS", "") == "" \
@@ -2373,16 +2384,18 @@ def _infer_pe_links_sparse(ids, table: KmerTable, reads: ReadPairBatch,
         while True:
             item = work.get()
             if item is None:
+                work.task_done()
                 return
-            head, sat_full, ovf = item
+            head, sat_full = item
             try:
-                ovfs.append(ovf)
                 hn = np.asarray(head)
-                # two-tier pull: the head (first H node columns + count)
-                # is ~cap/H x smaller than the full list; the full
-                # (2B, cap) result transfers only when some read in the
-                # batch saturated past the head (rare — see
-                # _sat_two_tier)
+                # two-tier pull: the head (first H node columns + count,
+                # plus the overflow-flag row the kernel appended) is
+                # ~cap/H x smaller than the full list; the full (2B, cap)
+                # result transfers only when some read in the batch
+                # saturated past the head (rare — see _sat_two_tier)
+                ovfs.append(bool(hn[-1, 0]))
+                hn = hn[:-1]
                 if hn[:, H].max(initial=0) <= H:
                     sn = hn[:, :H]
                 else:
@@ -2395,23 +2408,35 @@ def _infer_pe_links_sparse(ids, table: KmerTable, reads: ReadPairBatch,
                     cl.append(c)
             except BaseException as exc:  # surface in the driver thread
                 drain_err.append(exc)
+            finally:
+                work.task_done()
 
     drainers = [_threading.Thread(target=_drain_worker, daemon=True)
                 for _ in range(n_drainers)]
     for d in drainers:
         d.start()
 
+    from collections import deque as _deque
+    inflight: "_deque" = _deque()
+
+    def _flush(n: int) -> None:
+        # hand the oldest n results to the drainers and WAIT: the
+        # dispatch thread must stay off the tunnel while pulls run
+        for _ in range(n):
+            work.put(inflight.popleft())
+        work.join()
+
     for kind, payload in _wire_batches(reads, batch_size,
                                        force_bytes=not sortfill):
         if sortfill:
             if kind == "wire":
-                head, sat_nodes, ovf = _stats_sparse_sortfill_wire(
+                head, sat_nodes = _stats_sparse_sortfill_wire(
                     payload, tab_h1, seq_lens, pays, T=Tr,
                     split_len=split_len, depth=int(pays.shape[1]),
                     cap=cap, num_nodes=N, fill=fill,
                     node_bits=node_bits, stride=stride)
             else:
-                head, sat_nodes, ovf = _stats_sparse_sortfill(
+                head, sat_nodes = _stats_sparse_sortfill(
                     *payload, tab_h1, seq_lens, pays,
                     split_len=split_len, depth=int(pays.shape[1]),
                     cap=cap, num_nodes=N, fill=fill,
@@ -2427,10 +2452,13 @@ def _infer_pe_links_sparse(ids, table: KmerTable, reads: ReadPairBatch,
             else:
                 q1, h2qi, valid, lo = _hash_join_kernel(
                     codes, lens, tab_h1, split_len=split_len)
-            head, sat_nodes, ovf = _stats_sparse_kernel(
+            head, sat_nodes = _stats_sparse_kernel(
                 q1, h2qi, valid, lo, lens, tab_h1, tab_h2, tab_node,
                 seq_lens, split_len=split_len, depth=depth, cap=cap)
-        work.put((head, sat_nodes, ovf))
+        inflight.append((head, sat_nodes))
+        if len(inflight) >= 2 * window:
+            _flush(window)
+    _flush(len(inflight))
     for _ in drainers:
         work.put(None)
     for d in drainers:
@@ -2438,7 +2466,7 @@ def _infer_pe_links_sparse(ids, table: KmerTable, reads: ReadPairBatch,
     if drain_err:
         raise drain_err[0]
 
-    if any(bool(np.asarray(o)) for o in ovfs):
+    if any(ovfs):  # host bools — parsed from the pulled heads
         if cap >= 256:
             raise RuntimeError(
                 "a read saturated more than 256 nodes; graph too "
