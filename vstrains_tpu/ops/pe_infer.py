@@ -114,6 +114,36 @@ class KmerTable:
     scan_depth: int = 1
 
 
+def _table_device_arrays(table: "KmerTable", want_pays_bits=None):
+    """Device-resident views of a table's arrays, memoized on the table.
+
+    jnp.asarray re-transfers the same host array on EVERY call — at
+    metaSPAdes scale the table + sortfill payloads are ~174 MB, ~6 s
+    per engine call over a relay tunnel (measured: the re-upload was
+    the entire 13.4s-vs-7.2s gap between repeated engine calls and the
+    hoisted-transfer pattern at N=50k). Repeated infer calls — per-
+    width-bucket parts, the oracle subsample, benchmarks — reuse one
+    transfer. Keyed by the target device so the small-workload CPU
+    fallback never feeds accelerator runs CPU-committed buffers.
+    Table arrays are immutable by contract once built."""
+    import jax as _jax
+    dd = _jax.config.jax_default_device
+    dkey = str(dd) if dd is not None else _jax.default_backend()
+    cache = getattr(table, "_dev_cache", None)
+    if cache is None:
+        cache = {}
+        setattr(table, "_dev_cache", cache)
+    ent = cache.get(dkey)
+    if ent is None:
+        ent = {"h1": jnp.asarray(table.h1_biased),
+               "seq_lens": jnp.asarray(table.seq_lens)}
+        cache[dkey] = ent
+    if want_pays_bits is not None and ("pays", want_pays_bits) not in ent:
+        ent[("pays", want_pays_bits)] = jnp.asarray(
+            _build_sortfill_payloads(table, want_pays_bits))
+    return ent
+
+
 def _bucket_size(n: int) -> int:
     """Round up to the next power of two (>= 1024): table/shape buckets
     keep jit shapes stable across datasets so compiled kernels are reused
@@ -2147,8 +2177,8 @@ def infer_pe_links(ids: Sequence[str], seqs: Sequence[str],
                 probe = "sort"
             probe_kw = dict(stats_impl=stats_impl, probe=probe)
             if probe == "sortfill":
-                probe_kw["pays"] = jnp.asarray(
-                    _build_sortfill_payloads(table, node_bits))
+                probe_kw["pays"] = _table_device_arrays(
+                    table, want_pays_bits=node_bits)[("pays", node_bits)]
                 probe_kw["node_bits"] = node_bits
                 probe_kw["fill"] = _os.environ.get(
                     "VSTRAINS_SORTFILL_FILL", "cummin")
@@ -2165,12 +2195,20 @@ def infer_pe_links(ids: Sequence[str], seqs: Sequence[str],
         # the unread arrays are hundreds of MB of H2D per call
         empty = jnp.zeros(0, jnp.int32)
         sortfill_fused = fused and probe == "sortfill"
-        tab = (jnp.asarray(table.h1_biased),
-               empty if sortfill_fused else jnp.asarray(table.h2),
-               empty if sortfill_fused else jnp.asarray(table.node),
-               jnp.asarray(table.seq_lens))
-        bstarts = (jnp.asarray(table.bucket_starts)
-                   if fused and probe == "lookup" else empty)
+        dev = _table_device_arrays(table)
+        if not sortfill_fused and "h2" not in dev:
+            dev["h2"] = jnp.asarray(table.h2)
+            dev["node"] = jnp.asarray(table.node)
+        tab = (dev["h1"],
+               empty if sortfill_fused else dev["h2"],
+               empty if sortfill_fused else dev["node"],
+               dev["seq_lens"])
+        if fused and probe == "lookup":
+            if "bstarts" not in dev:
+                dev["bstarts"] = jnp.asarray(table.bucket_starts)
+            bstarts = dev["bstarts"]
+        else:
+            bstarts = empty
 
         acc_nm = jnp.zeros((N, N), jnp.int32)
         acc_sm = jnp.zeros((N, N), jnp.int32)
@@ -2316,12 +2354,14 @@ def _infer_pe_links_sparse(ids, table: KmerTable, reads: ReadPairBatch,
     sortfill = (probe_mode == "sort" and node_bits is not None
                 and depth <= _SORTFILL_MAX_DUP)
     pays = None
+    dev = _table_device_arrays(
+        table, want_pays_bits=node_bits if sortfill else None)
     if sortfill:
         import os as _os
         fill = _os.environ.get("VSTRAINS_SORTFILL_FILL", "cummin")
         stride = (_sortfill_stride(table.num_entries)
                   if fill == "cummin" else 1)
-        pays = jnp.asarray(_build_sortfill_payloads(table, node_bits))
+        pays = dev[("pays", node_bits)]
         logger.info("sparse probe: sortfill (node_bits=%d, h2 check %d "
                     "bits, table stride %d)", node_bits,
                     31 - node_bits, stride)
@@ -2340,91 +2380,72 @@ def _infer_pe_links_sparse(ids, table: KmerTable, reads: ReadPairBatch,
     logger.info("sparse PE stats path: N=%d, cap=%d, depth=%d, batch=%d",
                 N, cap, depth, batch_size)
 
-    tab_h1 = jnp.asarray(table.h1_biased)
-    seq_lens = jnp.asarray(table.seq_lens)
+    tab_h1 = dev["h1"]
+    seq_lens = dev["seq_lens"]
     if sortfill:
         # the payload probe never reads h2/node (they ride inside pays);
         # skip their H2D transfer — ~130MB/call at metaSPAdes scale
         tab_h2 = tab_node = jnp.zeros(0, jnp.int32)
     else:
-        tab_h2 = jnp.asarray(table.h2)
-        tab_node = jnp.asarray(table.node)
+        if "h2" not in dev:
+            dev["h2"] = jnp.asarray(table.h2)
+            dev["node"] = jnp.asarray(table.node)
+        tab_h2 = dev["h2"]
+        tab_node = dev["node"]
 
     pe_k, pe_c, st_k, st_c = [], [], [], []
     ovfs = []
     Tr = max(reads.fwd_codes.shape[1], reads.rve_codes.shape[1])
-    # Windowed two-phase drain. Materializing a result right after its
-    # dispatch syncs the stream per batch; but pulling results WHILE
-    # later batches are being dispatched is also wrong on relay-attached
-    # devices: each pull occupies the tunnel connection for an RTT +
-    # transfer, dispatch RPCs queue behind it, and the device starves
-    # between batches (measured head-to-head in one process at N=50k:
-    # interleaved pulls 28-33k reads/s vs dispatch-then-pull 72k — full
-    # device rate). So the loop dispatches a window of batches AHEAD,
-    # and only when 2 windows are in flight does it stop dispatching and
-    # let the drainers pull the oldest window — those pulls overlap the
-    # newest window's already-queued device compute, never a dispatch.
-    # SEVERAL drainers pull concurrently to hide the per-pull RTT
-    # (results are integer COO chunks merged by _merge_coo, so drain
-    # order is irrelevant; list.append is GIL-atomic). Device-resident
-    # footprint is bounded by 2 windows (~6 MB/batch at the default
-    # sizes). The numpy pair expansion releases the GIL, so it also
-    # overlaps the next window's wire packing.
-    import queue as _queue
-    import threading as _threading
+    # Windowed two-phase drain, single-threaded by measurement.
+    # Materializing a result right after its dispatch syncs the stream
+    # per batch; but pulling results WHILE later batches are being
+    # dispatched is also wrong on relay-attached devices: each pull
+    # occupies the tunnel connection for an RTT + transfer, dispatch
+    # RPCs queue behind it, and the device starves between batches. So
+    # the loop dispatches a window of batches AHEAD, and only when 2
+    # windows are in flight does it stop dispatching and pull the
+    # oldest window — those pulls overlap the newest window's
+    # already-queued device compute, never a dispatch. Three designs
+    # were measured head-to-head in one process at N=50k (same table,
+    # same tunnel minutes): interleaved pulls via worker threads
+    # 28-33k reads/s; windowed pulls via worker threads 33-42k (any
+    # thread count — this relay client's transfers run ~2x slower off
+    # the main thread); windowed pulls on the MAIN thread 65-73k =
+    # full device rate. Hence: no drain threads at all. The host-side
+    # COO pair expansion is ~7 ms/batch against ~227 ms/batch device
+    # compute, so inline expansion costs nothing that overlap would
+    # recover. Device-resident footprint is bounded by 2 windows
+    # (~3 MB/batch at the default sizes).
     window = max(1, int(os.environ.get("VSTRAINS_DRAIN_WINDOW", "32")))
-    work: "_queue.Queue" = _queue.Queue()
-    drain_err: List[BaseException] = []
-    n_drainers = max(1, min(4, (os.cpu_count() or 2) - 1)) \
-        if os.environ.get("VSTRAINS_SPARSE_DRAINERS", "") == "" \
-        else max(1, int(os.environ["VSTRAINS_SPARSE_DRAINERS"]))
-
-    def _drain_worker():
-        H = _SPARSE_HEAD
-        while True:
-            item = work.get()
-            if item is None:
-                work.task_done()
-                return
-            head, sat_full = item
-            try:
-                hn = np.asarray(head)
-                # two-tier pull: the head (first H node columns + count,
-                # plus the overflow-flag row the kernel appended) is
-                # ~cap/H x smaller than the full list; the full (2B, cap)
-                # result transfers only when some read in the batch
-                # saturated past the head (rare — see _sat_two_tier)
-                ovfs.append(bool(hn[-1, 0]))
-                hn = hn[:-1]
-                if hn[:, H].max(initial=0) <= H:
-                    sn = hn[:, :H]
-                else:
-                    sn = np.asarray(sat_full)
-                b = sn.shape[0] // 2
-                pe, st = _sparse_pairs_np(sn[:b], sn[b:], N)
-                for arr, kl, cl in ((pe, pe_k, pe_c), (st, st_k, st_c)):
-                    u, c = np.unique(arr, return_counts=True)
-                    kl.append(u)
-                    cl.append(c)
-            except BaseException as exc:  # surface in the driver thread
-                drain_err.append(exc)
-            finally:
-                work.task_done()
-
-    drainers = [_threading.Thread(target=_drain_worker, daemon=True)
-                for _ in range(n_drainers)]
-    for d in drainers:
-        d.start()
 
     from collections import deque as _deque
     inflight: "_deque" = _deque()
 
+    def _drain_one(item) -> None:
+        H = _SPARSE_HEAD
+        head, sat_full = item
+        hn = np.asarray(head)
+        # two-tier pull: the head (first H node columns + count, plus
+        # the overflow-flag row the kernel appended) is ~cap/H x
+        # smaller than the full list; the full (2B, cap) result
+        # transfers only when some read in the batch saturated past
+        # the head (rare — see _sat_two_tier)
+        ovfs.append(bool(hn[-1, 0]))
+        hn = hn[:-1]
+        if hn[:, H].max(initial=0) <= H:
+            sn = hn[:, :H]
+        else:
+            sn = np.asarray(sat_full)
+        b = sn.shape[0] // 2
+        pe, st = _sparse_pairs_np(sn[:b], sn[b:], N)
+        for arr, kl, cl in ((pe, pe_k, pe_c), (st, st_k, st_c)):
+            u, c = np.unique(arr, return_counts=True)
+            kl.append(u)
+            cl.append(c)
+
     def _flush(n: int) -> None:
-        # hand the oldest n results to the drainers and WAIT: the
-        # dispatch thread must stay off the tunnel while pulls run
         for _ in range(n):
-            work.put(inflight.popleft())
-        work.join()
+            _drain_one(inflight.popleft())
 
     for kind, payload in _wire_batches(reads, batch_size,
                                        force_bytes=not sortfill):
@@ -2459,12 +2480,6 @@ def _infer_pe_links_sparse(ids, table: KmerTable, reads: ReadPairBatch,
         if len(inflight) >= 2 * window:
             _flush(window)
     _flush(len(inflight))
-    for _ in drainers:
-        work.put(None)
-    for d in drainers:
-        d.join()
-    if drain_err:
-        raise drain_err[0]
 
     if any(ovfs):  # host bools — parsed from the pulled heads
         if cap >= 256:
