@@ -74,6 +74,102 @@ def test_classic_join_paths_still_equal(eight_devices, monkeypatch,
     np.testing.assert_array_equal(serial.short_mat, sharded.short_mat)
 
 
+def _assert_sparse_equal(a, b):
+    np.testing.assert_array_equal(a.pair_keys, b.pair_keys)
+    np.testing.assert_array_equal(a.pair_counts, b.pair_counts)
+    np.testing.assert_array_equal(a.short_keys, b.short_keys)
+    np.testing.assert_array_equal(a.short_counts, b.short_counts)
+
+
+@pytest.mark.parametrize("data,model", [(8, 1), (4, 2), (2, 4)])
+def test_sparse_sharded_bit_equal(eight_devices, data, model):
+    """The sharded sparse COO engine (DP over reads x TP over the table)
+    equals the single-chip sparse engine bit-for-bit on every mesh
+    shape — the large-N multi-chip path (VERDICT r4 ask #1)."""
+    from vstrains_tpu.ops.pe_infer import PESparseResult
+    from vstrains_tpu.parallel.mesh import infer_pe_links_sparse_sharded
+
+    rng = np.random.RandomState(47)
+    k = 11
+    refs = _random_refs(rng, 6, [70, 90, 110, 130, 150, 170])
+    fwd, rve = _sample_reads(rng, refs, 120, 35, k)
+    batch = _make_batch(fwd, rve, k + 1)
+    ids = [str(i) for i in range(6)]
+
+    serial = infer_pe_links(ids, refs, batch, k, batch_size=64,
+                            stats_mode="sparse")
+    assert isinstance(serial, PESparseResult)
+    mesh = make_mesh(data=data, model=model, devices=eight_devices)
+    sharded = infer_pe_links_sparse_sharded(ids, refs, batch, k, mesh,
+                                            batch_size=48)
+    _assert_sparse_equal(serial, sharded)
+
+
+@pytest.mark.parametrize("data,model", [(4, 2), (2, 4)])
+def test_sparse_sharded_classic_join_bit_equal(eight_devices,
+                                               monkeypatch, data, model):
+    """The sharded sparse engine's classic-join path (graphs past the
+    sortfill packing) also matches single-chip, including duplicate
+    k-mer runs straddling TP table-shard boundaries."""
+    import vstrains_tpu.parallel.mesh as M
+    monkeypatch.setattr(M, "_SORTFILL_MAX_DUP", 0)  # force classic
+    rng = np.random.RandomState(53)
+    k = 11
+    motif = _random_refs(rng, 1, [40])[0]
+    refs = [motif + _random_refs(rng, 1, [60])[0] for _ in range(5)]
+    fwd, rve = _sample_reads(rng, refs, 96, 30, k)
+    batch = _make_batch(fwd, rve, k + 1)
+    ids = [str(i) for i in range(5)]
+    serial = infer_pe_links(ids, refs, batch, k, batch_size=64,
+                            stats_mode="sparse")
+    mesh = make_mesh(data=data, model=model, devices=eight_devices)
+    sharded = M.infer_pe_links_sparse_sharded(ids, refs, batch, k, mesh,
+                                              batch_size=48)
+    _assert_sparse_equal(serial, sharded)
+
+
+@pytest.mark.parametrize("data,model", [(8, 1), (2, 4)])
+def test_sparse_sharded_cap_overflow_retry(eight_devices, data, model):
+    """Tiny caps force the overflow-retry path (both the saturated-node
+    cap and the TP candidate cap); results must be unchanged."""
+    from vstrains_tpu.parallel.mesh import infer_pe_links_sparse_sharded
+
+    rng = np.random.RandomState(59)
+    k = 11
+    refs = _random_refs(rng, 6, [80, 90, 100, 110, 120, 130])
+    fwd, rve = _sample_reads(rng, refs, 80, 35, k)
+    batch = _make_batch(fwd, rve, k + 1)
+    ids = [str(i) for i in range(6)]
+    serial = infer_pe_links(ids, refs, batch, k, batch_size=64,
+                            stats_mode="sparse")
+    mesh = make_mesh(data=data, model=model, devices=eight_devices)
+    sharded = infer_pe_links_sparse_sharded(ids, refs, batch, k, mesh,
+                                            batch_size=48, cap=1,
+                                            cap_c=2)
+    _assert_sparse_equal(serial, sharded)
+
+
+def test_sharded_auto_routes_to_sparse(eight_devices):
+    """infer_pe_links_sharded's dense/sparse cutover mirrors the
+    single-chip driver: stats_mode='sparse' returns a PESparseResult
+    equal to the single-chip sparse engine."""
+    from vstrains_tpu.ops.pe_infer import PESparseResult
+
+    rng = np.random.RandomState(61)
+    k = 11
+    refs = _random_refs(rng, 4, [80, 100, 120, 140])
+    fwd, rve = _sample_reads(rng, refs, 64, 30, k)
+    batch = _make_batch(fwd, rve, k + 1)
+    ids = [str(i) for i in range(4)]
+    mesh = make_mesh(data=8, model=1, devices=eight_devices)
+    res = infer_pe_links_sharded(ids, refs, batch, k, mesh,
+                                 batch_size=48, stats_mode="sparse")
+    assert isinstance(res, PESparseResult)
+    serial = infer_pe_links(ids, refs, batch, k, batch_size=32,
+                            stats_mode="sparse")
+    _assert_sparse_equal(serial, res)
+
+
 def test_sp_window_hashes_match_host(eight_devices):
     rng = np.random.RandomState(5)
     bases = np.frombuffer(b"ACGT", dtype=np.uint8)

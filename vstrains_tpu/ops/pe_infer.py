@@ -1062,15 +1062,12 @@ def _segmented_scans(startf, start_val, kidx_s):
     return startpos, kmin
 
 
-@partial(jax.jit, static_argnames=("split_len", "depth", "cap"))
-def _stats_sparse_kernel(q1, h2qi, valid, lo, lens, tab_h1, tab_h2,
-                         tab_node, seq_lens, split_len: int,
-                         depth: int, cap: int):
-    """Per-read saturated node lists without any N-wide tensor.
-
-    Returns (sat_nodes [2B, cap] int32 ascending, -1 padded; overflow
-    bool: some read saturated more than cap nodes — the driver retries
-    the whole run with a larger cap, results unchanged)."""
+def _sparse_expand_matches(q1, h2qi, valid, lo, tab_h1, tab_h2,
+                           tab_node, depth: int):
+    """Classic-probe match expansion: bounded duplicate scan from `lo`
+    flattened to per-slot (node id, k-index) planes [B2, K*depth]
+    (sentinel _INF for misses) — the sparse tail's input format. Shared
+    by the single-chip sparse kernel and the per-table-shard TP step."""
     B2, K = q1.shape
     M = tab_h1.shape[0]
     loc = jnp.minimum(lo, M - 1)
@@ -1086,18 +1083,36 @@ def _stats_sparse_kernel(q1, h2qi, valid, lo, lens, tab_h1, tab_h2,
     node_key = jnp.where(m, e_node, _INF).reshape(B2, R)
     kidx = jax.lax.broadcasted_iota(jnp.int32, (B2, K, depth), 1)
     kidx_v = jnp.where(m, kidx, _INF).reshape(B2, R)
+    return node_key, kidx_v
 
+
+@partial(jax.jit, static_argnames=("split_len", "depth", "cap"))
+def _stats_sparse_kernel(q1, h2qi, valid, lo, lens, tab_h1, tab_h2,
+                         tab_node, seq_lens, split_len: int,
+                         depth: int, cap: int):
+    """Per-read saturated node lists without any N-wide tensor.
+
+    Returns (sat_nodes [2B, cap] int32 ascending, -1 padded; overflow
+    bool: some read saturated more than cap nodes — the driver retries
+    the whole run with a larger cap, results unchanged)."""
+    K = q1.shape[1]
+    node_key, kidx_v = _sparse_expand_matches(
+        q1, h2qi, valid, lo, tab_h1, tab_h2, tab_node, depth)
     out, overflow, counts = _sparse_sat_tail(
         node_key, kidx_v, lens, seq_lens, split_len, cap, kmax=K)
     return _sat_two_tier(out, overflow, counts, cap)
 
 
-def _sparse_sat_tail(node_key, kidx_v, lens, seq_lens, split_len: int,
-                     cap: int, kmax: Optional[int] = None):
-    """Shared tail of the sparse stats kernels: row-sort matched
-    (node, k-index) slots, segmented scans for per-run (count, min-k),
-    the reference saturation test at run ends, and compaction into the
-    (2B, cap) saturated-node list + overflow flag.
+def _row_run_stats(node_key, kidx_v, num_nodes: int,
+                   kmax: Optional[int] = None):
+    """Row-sort matched (node, k-index) slots and reduce each equal-node
+    run to (count, min-k) via segmented scans.
+
+    Returns (node_s, cnt, kmin, is_end), all [B2, R]: the sorted node
+    ids, the running per-run count / min-k (exact at run-end positions),
+    and the run-end mask (sentinel runs excluded). Shared by the
+    single-chip sparse tail and the per-table-shard TP step in
+    parallel/mesh.py (whose (sum, min) partials merge exactly).
 
     With `kmax` (a static bound on kidx values, exclusive) and node ids
     small enough that (node << kbits | kidx) fits int31, the row-sort
@@ -1108,7 +1123,7 @@ def _sparse_sat_tail(node_key, kidx_v, lens, seq_lens, split_len: int,
     node) is bit-identical. At N=50k this cut the sat tail ~2x (the
     (2B, K*D) sort is the tail's floor)."""
     B2, R = node_key.shape
-    N = seq_lens.shape[0]
+    N = num_nodes
     kbits = max(1, int(kmax - 1).bit_length()) if kmax else None
     packed = (kmax is not None
               and ((N - 1) << kbits) | (kmax - 1) < 2**31 - 1
@@ -1150,18 +1165,28 @@ def _sparse_sat_tail(node_key, kidx_v, lens, seq_lens, split_len: int,
         [node_s[:, 1:], jnp.full((B2, 1), -1, jnp.int32)], axis=1)
     is_end = (node_s != nxt) & (node_s != _INF)
     cnt = pos - startpos + 1
+    return node_s, cnt, kmin, is_end
 
-    # the reference saturation test (PE_Inference.py:39-47) in exact
-    # integers, evaluated at each run end — same algebra as _saturate
-    # (min ref coord cancelled, module docstring)
+
+def _sat_ok(node_s, cnt, kmin, lens, seq_lens, split_len: int):
+    """The reference saturation test (PE_Inference.py:39-47) in exact
+    integers — same algebra as _saturate (min ref coord cancelled, see
+    module docstring). Evaluated elementwise; callers mask to run-end
+    positions."""
     rl = lens[:, None].astype(jnp.int32)
     N = seq_lens.shape[0]
     ref = jnp.take(seq_lens, jnp.clip(node_s, 0, N - 1)).astype(jnp.int32)
     sat_thresh = jnp.minimum(ref - 1, rl - 1 - kmin) - split_len + 2
     A = jnp.minimum(rl, ref) - split_len + 1
     exp_num = A * (rl - split_len)
-    ok = is_end & ((cnt >= sat_thresh) | (cnt * rl >= exp_num))
+    return (cnt >= sat_thresh) | (cnt * rl >= exp_num)
 
+
+def _compact_rows(ok, node_s, cap: int):
+    """Compact the ok-masked entries of each row into a (B2, cap) list
+    (-1 padded, source order preserved), with the per-row counts and a
+    global cap-overflow flag."""
+    B2, R = node_s.shape
     sidx = jnp.cumsum(ok.astype(jnp.int32), axis=1) - 1
     overflow = jnp.any(ok & (sidx >= cap))
     row = jax.lax.broadcasted_iota(jnp.int32, (B2, R), 0)
@@ -1170,6 +1195,76 @@ def _sparse_sat_tail(node_key, kidx_v, lens, seq_lens, split_len: int,
         node_s, mode="drop")
     counts = sidx[:, -1] + 1
     return out, overflow, counts
+
+
+def _sparse_sat_tail(node_key, kidx_v, lens, seq_lens, split_len: int,
+                     cap: int, kmax: Optional[int] = None):
+    """Shared tail of the sparse stats kernels: row-sort matched
+    (node, k-index) slots, segmented scans for per-run (count, min-k),
+    the reference saturation test at run ends, and compaction into the
+    (2B, cap) saturated-node list + overflow flag."""
+    node_s, cnt, kmin, is_end = _row_run_stats(
+        node_key, kidx_v, seq_lens.shape[0], kmax)
+    ok = is_end & _sat_ok(node_s, cnt, kmin, lens, seq_lens, split_len)
+    return _compact_rows(ok, node_s, cap)
+
+
+def _sparse_run_stats_compact(node_key, kidx_v, num_nodes: int,
+                              kmax: Optional[int], cap_c: int):
+    """Per-shard candidate lists for the table-parallel sparse engine:
+    every distinct matched node of each read with its LOCAL (count,
+    min-k) partial, compacted to (B2, cap_c) triple lists (-1 / 0 / _INF
+    padded, node-ascending). The (sum, min) partials from different
+    table shards merge exactly in _sparse_merge_sat_tail — integer sums
+    and mins are associative+commutative, the same monoid argument as
+    the dense TP path (parallel/mesh.py)."""
+    node_s, cnt, kmin, is_end = _row_run_stats(
+        node_key, kidx_v, num_nodes, kmax)
+    B2, R = node_s.shape
+    sidx = jnp.cumsum(is_end.astype(jnp.int32), axis=1) - 1
+    overflow = jnp.any(is_end & (sidx >= cap_c))
+    row = jax.lax.broadcasted_iota(jnp.int32, (B2, R), 0)
+    tgt = jnp.where(is_end & (sidx < cap_c), sidx, cap_c)
+    nodes = jnp.full((B2, cap_c), -1, jnp.int32).at[row, tgt].set(
+        node_s, mode="drop")
+    cnts = jnp.zeros((B2, cap_c), jnp.int32).at[row, tgt].set(
+        cnt, mode="drop")
+    kmins = jnp.full((B2, cap_c), _INF, jnp.int32).at[row, tgt].set(
+        kmin, mode="drop")
+    return nodes, cnts, kmins, overflow
+
+
+def _sparse_merge_sat_tail(nodes, cnts, kmins, lens, seq_lens,
+                           split_len: int, cap: int):
+    """Merge gathered per-shard candidate lists into the global
+    saturated-node lists: row-sort by node id (carrying the partial
+    count / min-k), segmented (sum, min) scans reduce each node's
+    partials from every table shard, then the shared saturation test +
+    compaction. Padding entries (node -1 -> sentinel, count 0, kmin
+    _INF) sort last and are excluded by the run-end mask."""
+    node_key = jnp.where(nodes >= 0, nodes, _INF)
+    node_s, cnt_s, kmin_s = jax.lax.sort(
+        (node_key, cnts, kmins), dimension=1, num_keys=1)
+    B2, C = node_s.shape
+    prev = jnp.concatenate(
+        [jnp.full((B2, 1), -1, jnp.int32), node_s[:, :-1]], axis=1)
+    startf = node_s != prev
+
+    def comb(a, b):
+        fa, ca, ka = a
+        fb, cb, kb = b
+        return (fa | fb,
+                jnp.where(fb, cb, ca + cb),
+                jnp.where(fb, kb, jnp.minimum(ka, kb)))
+
+    _, cnt_tot, kmin_tot = jax.lax.associative_scan(
+        comb, (startf, cnt_s, kmin_s), axis=1)
+    nxt = jnp.concatenate(
+        [node_s[:, 1:], jnp.full((B2, 1), -1, jnp.int32)], axis=1)
+    is_end = (node_s != nxt) & (node_s != _INF)
+    ok = is_end & _sat_ok(node_s, cnt_tot, kmin_tot, lens, seq_lens,
+                          split_len)
+    return _compact_rows(ok, node_s, cap)
 
 
 _SPARSE_HEAD = 4  # saturated-node columns in the always-pulled head

@@ -40,16 +40,23 @@ except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
 from vstrains_tpu.core.fastq import ReadPairBatch
-from vstrains_tpu.ops.pe_infer import (KmerTable, PEResult,
-                                       _SORTFILL_MAX_DUP,
+from vstrains_tpu.ops.pe_infer import (KmerTable, PEResult, PESparseResult,
+                                       _SORTFILL_MAX_DUP, _SPARSE_HEAD,
                                        _build_sortfill_payloads,
                                        _dup_scan_stats_impl,
                                        _hash_join_impl,
+                                       _merge_coo,
                                        _pair_matmuls_jit,
                                        _saturate,
                                        _slots_scatter_accum,
                                        _sortfill_node_bits,
-                                       _sortfill_node_slots, _stack_ends,
+                                       _sortfill_node_slots,
+                                       _sortfill_stride,
+                                       _sparse_expand_matches,
+                                       _sparse_merge_sat_tail,
+                                       _sparse_pairs_np,
+                                       _sparse_run_stats_compact,
+                                       _sparse_sat_tail, _stack_ends,
                                        _stats_saturate_kernel,
                                        build_kmer_table)
 
@@ -316,12 +323,19 @@ def infer_pe_links_sharded(ids: Sequence[str], seqs: Sequence[str],
                            reads: ReadPairBatch, kmer_size: int,
                            mesh: Mesh = None,
                            batch_size: int = 8192,
-                           logger: logging.Logger = None) -> PEResult:
+                           logger: logging.Logger = None,
+                           stats_mode: str = "auto"):
     """Data+tensor-parallel PE-link inference over a device mesh.
 
     Bit-identical to ops.pe_infer.infer_pe_links (and hence to the serial
     reference accumulation) for any mesh shape — property-tested in
     tests/test_parallel.py.
+
+    Dense/sparse cutover mirrors the single-chip driver: above a few
+    thousand nodes everything N^2-shaped (link accumulators, pair
+    matmuls) dominates, so the run routes to the sharded sparse engine
+    (infer_pe_links_sparse_sharded) and returns a PESparseResult —
+    same union-return contract as infer_pe_links.
     """
     logger = logger or _LOG
     if mesh is None:
@@ -333,6 +347,16 @@ def infer_pe_links_sharded(ids: Sequence[str], seqs: Sequence[str],
     N = table.num_nodes
     logger.info("sharded pe: mesh data=%d model=%d, table %d entries",
                 n_data, n_model, table.num_entries)
+
+    # same cutover formula as ops.pe_infer.infer_pe_links: the dense
+    # path's cost above a few thousand nodes is the N- and N^2-shaped
+    # machinery around the stats, not the stats tensors themselves
+    budget_rows = max(512, (1_500_000_000 // (12 * (N + 1))) // 2)
+    if stats_mode == "sparse" or (stats_mode == "auto"
+                                  and batch_size > budget_rows):
+        return infer_pe_links_sparse_sharded(
+            ids, seqs, reads, kmer_size, mesh=mesh,
+            batch_size=batch_size, logger=logger, table=table)
 
     node_mat = np.zeros((N, N), dtype=np.int64)
     short_mat = np.zeros((N, N), dtype=np.int64)
@@ -425,6 +449,317 @@ def infer_pe_links_sharded(ids: Sequence[str], seqs: Sequence[str],
 
     return PEResult(list(ids), node_mat, short_mat, reads.n_reads,
                     reads.short_reads, reads.used_reads)
+
+
+# --------------------------------------------------------------------------
+# sharded sparse engine (large-N path)
+#
+# The regime SURVEY section 2's TP row exists for — N or table size past
+# one chip's HBM — is exactly where the reference dies on dense
+# node_mat/short_mat (/root/reference/utils/VStrains_PE_Inference.py:139-140).
+# These steps shard the SPARSE engine (ops.pe_infer._infer_pe_links_sparse):
+# nothing N^2-shaped anywhere, reads shard over 'data', the k-mer table
+# and its sortfill payload matrix (the real HBM consumer at metaSPAdes
+# scale: ~1 GB at N=50k) shard over 'model'. Per-table-shard
+# (count, min-k) partials are a (sum, min) monoid, so an all_gather of
+# the compact per-read candidate lists + one segmented (sum, min) merge
+# reconstructs exact full-table stats before the saturation test —
+# bit-identical to single-chip for any mesh shape (tests/test_parallel.py).
+# --------------------------------------------------------------------------
+
+
+def _sparse_head_rows(out, overflow, counts, H: int):
+    """Per-shard two-tier head: first H node columns + per-read count,
+    with the overflow flag riding as one appended row (a separate scalar
+    output would cost a full tunnel round trip per batch — see
+    ops.pe_infer._sat_two_tier)."""
+    head = jnp.concatenate([out[:, :H], counts[:, None]], axis=1)
+    ovf_row = jnp.zeros((1, H + 1), jnp.int32).at[0, 0].set(
+        overflow.astype(jnp.int32))
+    return jnp.concatenate([head, ovf_row], axis=0)
+
+
+def make_sparse_dp_step(mesh: Mesh, split_len: int, num_nodes: int,
+                        node_bits: int, cap: int, fill: str,
+                        stride: int):
+    """Read-sharded sparse sortfill step: each data shard runs the full
+    single-chip sparse pipeline (stack, hash, sortfill join, row-sort
+    run stats, saturation, compaction) on its rows — per-read outputs
+    are row-independent, so per-shard results equal the global ones."""
+    H = min(_SPARSE_HEAD, cap)
+
+    def local(fc, fl, rc, rl, tab_h1, pays, seq_lens):
+        codes, lens = _stack_ends(fc, fl, rc, rl)
+        depth = pays.shape[1]
+        node_t = _sortfill_node_slots(codes, lens, tab_h1, pays,
+                                      split_len, num_nodes, fill=fill,
+                                      node_bits=node_bits, stride=stride)
+        B2, R = node_t.shape
+        matched = node_t < num_nodes
+        node_key = jnp.where(matched, node_t, _INT32_MAX)
+        kidx = jax.lax.broadcasted_iota(jnp.int32, (B2, R), 1) // depth
+        kidx_v = jnp.where(matched, kidx, _INT32_MAX)
+        out, overflow, counts = _sparse_sat_tail(
+            node_key, kidx_v, lens, seq_lens, split_len, cap,
+            kmax=R // depth)
+        return _sparse_head_rows(out, overflow, counts, H), out
+
+    return jax.jit(shard_map(
+        local, mesh=mesh,
+        in_specs=(P("data", None), P("data"), P("data", None), P("data"),
+                  P(None), P(None, None), P(None)),
+        out_specs=(P("data", None), P("data", None)),
+        check_vma=False,
+    ))
+
+
+def make_sparse_dp_classic_step(mesh: Mesh, split_len: int,
+                                num_nodes: int, depth: int, cap: int):
+    """Read-sharded sparse step with the classic join probe — taken when
+    the graph exceeds the sortfill packing (node_bits > 18 or
+    max_dup > 16); same contract as make_sparse_dp_step."""
+    H = min(_SPARSE_HEAD, cap)
+
+    def local(fc, fl, rc, rl, tab_h1, tab_h2, tab_node, seq_lens):
+        codes, lens = _stack_ends(fc, fl, rc, rl)
+        q1, h2qi, valid, lo = _hash_join_impl(codes, lens, tab_h1,
+                                              split_len)
+        node_key, kidx_v = _sparse_expand_matches(
+            q1, h2qi, valid, lo, tab_h1, tab_h2, tab_node, depth)
+        out, overflow, counts = _sparse_sat_tail(
+            node_key, kidx_v, lens, seq_lens, split_len, cap,
+            kmax=q1.shape[1])
+        return _sparse_head_rows(out, overflow, counts, H), out
+
+    return jax.jit(shard_map(
+        local, mesh=mesh,
+        in_specs=(P("data", None), P("data"), P("data", None), P("data"),
+                  P(None), P(None), P(None), P(None)),
+        out_specs=(P("data", None), P("data", None)),
+        check_vma=False,
+    ))
+
+
+def make_sparse_tp_step(mesh: Mesh, split_len: int, num_nodes: int,
+                        cap: int, cap_c: int, depth: int,
+                        sortfill: bool, node_bits: int = 0,
+                        fill: str = "cummin", stride: int = 1):
+    """DPxTP sparse step: every model rank probes its own table shard
+    (sortfill payloads or classic join), reduces its matches to compact
+    per-read (node, count, min-k) candidate lists, all_gathers the
+    lists over the model axis, and one segmented (sum, min) merge +
+    saturation reconstructs the exact global saturated-node lists —
+    the sparse counterpart of the dense TP psum/pmin monoid merge."""
+    H = min(_SPARSE_HEAD, cap)
+
+    def local(fc, fl, rc, rl, th1, tshard2, tshard3, seq_lens):
+        codes, lens = _stack_ends(fc, fl, rc, rl)
+        if sortfill:
+            pays = tshard2[0]
+            node_t = _sortfill_node_slots(
+                codes, lens, th1[0], pays, split_len, num_nodes,
+                fill=fill, node_bits=node_bits, stride=stride)
+            B2, R = node_t.shape
+            matched = node_t < num_nodes
+            node_key = jnp.where(matched, node_t, _INT32_MAX)
+            kidx = (jax.lax.broadcasted_iota(jnp.int32, (B2, R), 1)
+                    // depth)
+            kidx_v = jnp.where(matched, kidx, _INT32_MAX)
+            kmax = R // depth
+        else:
+            q1, h2qi, valid, lo = _hash_join_impl(codes, lens, th1[0],
+                                                  split_len)
+            node_key, kidx_v = _sparse_expand_matches(
+                q1, h2qi, valid, lo, th1[0], tshard2[0], tshard3[0],
+                depth)
+            kmax = q1.shape[1]
+        nodes, cnts, kmins, ovf_c = _sparse_run_stats_compact(
+            node_key, kidx_v, num_nodes, kmax, cap_c)
+        nodes_g = jax.lax.all_gather(nodes, "model", axis=1, tiled=True)
+        cnts_g = jax.lax.all_gather(cnts, "model", axis=1, tiled=True)
+        kmins_g = jax.lax.all_gather(kmins, "model", axis=1, tiled=True)
+        out, ovf_s, counts = _sparse_merge_sat_tail(
+            nodes_g, cnts_g, kmins_g, lens, seq_lens, split_len, cap)
+        ovf = (jax.lax.psum(ovf_c.astype(jnp.int32), "model") > 0) | ovf_s
+        return _sparse_head_rows(out, ovf, counts, H), out
+
+    shard2_spec = (P("model", None, None) if sortfill
+                   else P("model", None))
+    return jax.jit(shard_map(
+        local, mesh=mesh,
+        in_specs=(P("data", None), P("data"), P("data", None), P("data"),
+                  P("model", None), shard2_spec, P("model", None),
+                  P(None)),
+        out_specs=(P("data", None), P("data", None)),
+        check_vma=False,
+    ))
+
+
+def infer_pe_links_sparse_sharded(ids: Sequence[str],
+                                  seqs: Sequence[str],
+                                  reads: ReadPairBatch, kmer_size: int,
+                                  mesh: Mesh = None,
+                                  batch_size: int = 8192,
+                                  logger: logging.Logger = None,
+                                  cap: int = 16,
+                                  cap_c: Optional[int] = None,
+                                  table: Optional[KmerTable] = None
+                                  ) -> PESparseResult:
+    """Multi-chip large-N PE inference: the sparse COO engine sharded
+    DP over reads x TP over the k-mer table. Returns the same
+    PESparseResult as the single-chip sparse engine, bit-identical for
+    any mesh shape (integer (sum, min) merges; tests/test_parallel.py).
+    """
+    import os
+
+    logger = logger or _LOG
+    if mesh is None:
+        mesh = make_mesh()
+    n_data = mesh.shape["data"]
+    n_model = mesh.shape["model"]
+    split_len = kmer_size + 1
+    if table is None:
+        table = build_kmer_table(seqs, split_len)
+    N = table.num_nodes
+    if reads.num_pairs == 0 or table.num_entries == 0:
+        z = np.zeros(0, np.int64)
+        return PESparseResult(list(ids), z, z.copy(), z.copy(),
+                              z.copy(), reads.n_reads,
+                              reads.short_reads, reads.used_reads)
+
+    node_bits = _sortfill_node_bits(N)
+    sortfill = (node_bits is not None
+                and table.max_dup <= _SORTFILL_MAX_DUP)
+    fill = os.environ.get("VSTRAINS_SORTFILL_FILL", "cummin")
+    depth = table.max_dup
+    if cap_c is None:
+        cap_c = max(32, 2 * cap)
+
+    # per-shard footprint clamp (same formula as the single-chip sparse
+    # driver, applied to the per-data-shard rows)
+    T = max(reads.fwd_codes.shape[1], reads.rve_codes.shape[1])
+    K = T - split_len + 1
+    row_bytes = max(K * max(depth, 1) * 4 * 8, 1)
+    budget = max(512, (1_500_000_000 // row_bytes) // 2)
+    if batch_size // n_data > budget:
+        clamped = max(512, 1 << (budget.bit_length() - 1)) * n_data
+        logger.info("sharded sparse batch clamped %d -> %d", batch_size,
+                    clamped)
+        batch_size = clamped
+
+    seq_lens_j = jnp.asarray(table.seq_lens)
+    if n_model == 1:
+        if sortfill:
+            stride = (_sortfill_stride(table.num_entries)
+                      if fill == "cummin" else 1)
+            step = make_sparse_dp_step(mesh, split_len, N, node_bits,
+                                       cap, fill, stride)
+            pays = jnp.asarray(_build_sortfill_payloads(table, node_bits))
+            depth = int(pays.shape[1])
+            tab_args = (jnp.asarray(table.h1_biased), pays, seq_lens_j)
+            logger.info("sharded sparse dp: sortfill (node_bits=%d, "
+                        "stride=%d, data=%d)", node_bits, stride, n_data)
+        else:
+            step = make_sparse_dp_classic_step(mesh, split_len, N,
+                                               depth, cap)
+            tab_args = (jnp.asarray(table.h1_biased),
+                        jnp.asarray(table.h2), jnp.asarray(table.node),
+                        seq_lens_j)
+            logger.info("sharded sparse dp: classic join (depth=%d, "
+                        "data=%d)", depth, n_data)
+    else:
+        stab = shard_table(table, n_model)
+        if sortfill:
+            pays_s = jnp.asarray(
+                shard_sortfill_payloads(table, n_model, node_bits))
+            depth = int(pays_s.shape[2])
+            stride = (_sortfill_stride(stab.h1_biased.shape[1])
+                      if fill == "cummin" else 1)
+            step = make_sparse_tp_step(mesh, split_len, N, cap, cap_c,
+                                       depth, True, node_bits=node_bits,
+                                       fill=fill, stride=stride)
+            tab_args = (jnp.asarray(stab.h1_biased), pays_s,
+                        jnp.asarray(stab.node), seq_lens_j)
+            logger.info("sharded sparse tp: sortfill (node_bits=%d, "
+                        "%d table shards, cap_c=%d)", node_bits,
+                        n_model, cap_c)
+        else:
+            step = make_sparse_tp_step(mesh, split_len, N, cap, cap_c,
+                                       depth, False)
+            tab_args = (jnp.asarray(stab.h1_biased),
+                        jnp.asarray(stab.h2), jnp.asarray(stab.node),
+                        seq_lens_j)
+            logger.info("sharded sparse tp: classic join (depth=%d, "
+                        "%d table shards, cap_c=%d)", depth, n_model,
+                        cap_c)
+
+    bs = -(-batch_size // n_data) * n_data
+    b_local = bs // n_data
+    H = min(_SPARSE_HEAD, cap)
+    B = reads.num_pairs
+    pe_k, pe_c, st_k, st_c = [], [], [], []
+    ovfs = []
+    window = max(1, int(os.environ.get("VSTRAINS_DRAIN_WINDOW", "32")))
+    from collections import deque as _deque
+    inflight: "_deque" = _deque()
+
+    def _drain_one(item) -> None:
+        head, sat_full = item
+        hn = np.asarray(head).reshape(n_data, 2 * b_local + 1, H + 1)
+        ovfs.append(bool(hn[:, -1, 0].any()))
+        body = hn[:, :-1, :]
+        if body[..., H].max(initial=0) <= H:
+            sn = body[..., :H]
+        else:
+            sn = np.asarray(sat_full).reshape(n_data, 2 * b_local, -1)
+        # shard-major row layout: [s0 fwd, s0 rve, s1 fwd, s1 rve, ...]
+        fwd = sn[:, :b_local].reshape(n_data * b_local, -1)
+        rve = sn[:, b_local:].reshape(n_data * b_local, -1)
+        pe, st = _sparse_pairs_np(fwd, rve, N)
+        for arr, kl, cl in ((pe, pe_k, pe_c), (st, st_k, st_c)):
+            u, c = np.unique(arr, return_counts=True)
+            kl.append(u)
+            cl.append(c)
+
+    def _flush(n: int) -> None:
+        for _ in range(n):
+            _drain_one(inflight.popleft())
+
+    for start in range(0, B, bs):
+        end = min(start + bs, B)
+        fc = reads.fwd_codes[start:end]
+        rc = reads.rve_codes[start:end]
+        fl = reads.fwd_len[start:end]
+        rl = reads.rve_len[start:end]
+        if end - start < bs:
+            pad = bs - (end - start)
+            fc = np.pad(fc, ((0, pad), (0, 0)), constant_values=255)
+            rc = np.pad(rc, ((0, pad), (0, 0)), constant_values=255)
+            fl = np.pad(fl, (0, pad))
+            rl = np.pad(rl, (0, pad))
+        inflight.append(step(jnp.asarray(fc), jnp.asarray(fl),
+                             jnp.asarray(rc), jnp.asarray(rl),
+                             *tab_args))
+        if len(inflight) >= 2 * window:
+            _flush(window)
+    _flush(len(inflight))
+
+    if any(ovfs):
+        if cap >= 256:
+            raise RuntimeError(
+                "a read saturated more than 256 nodes; graph too "
+                "repetitive for the sparse PE path")
+        logger.info("sharded sparse cap %d/%d overflowed; retrying with "
+                    "%d/%d", cap, cap_c, cap * 4, cap_c * 4)
+        return infer_pe_links_sparse_sharded(
+            ids, seqs, reads, kmer_size, mesh=mesh,
+            batch_size=batch_size, logger=logger, cap=cap * 4,
+            cap_c=cap_c * 4, table=table)
+
+    pk, pc = _merge_coo(pe_k, pe_c)
+    sk, sc = _merge_coo(st_k, st_c)
+    return PESparseResult(list(ids), pk, pc, sk, sc, reads.n_reads,
+                          reads.short_reads, reads.used_reads)
 
 
 # --------------------------------------------------------------------------
