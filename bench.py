@@ -108,6 +108,10 @@ def main():
         "value": round(reads_per_s, 1),
         "unit": "reads/s",
         "vs_baseline": round(reads_per_s / base_reads_per_s, 2),
+        # all repetitions, not just the headline best-of-3: a future
+        # regression must not be able to hide behind one good rep
+        # (VERDICT r4 weak #6)
+        "reps_seconds": [round(d, 2) for d in dts],
     }
     print(json.dumps(out))
     # diagnostics on stderr (driver reads stdout JSON only)
