@@ -120,3 +120,60 @@ def test_tiny_e2e_pipeline_recovers_strains(tmp_path):
                        load_fasta(ds.truth_path), k=31, min_block=500)
     agg = rep.pop("_aggregate")
     assert agg["refs_with_nga50"] >= 4, rep
+
+
+def test_benchmark_shapes_registry_structural():
+    """Every published benchmark shape (README.md:204-211) generates a
+    valid dataset at probe coverage: graph parses, strain paths rebuild
+    the genomes, divergence lands in the shape's regime."""
+    import tempfile
+
+    from vstrains_tpu.core.gfa import parse_gfa
+    from vstrains_tpu.evals.hivsim import (BENCH_SHAPES,
+                                           make_benchmark_dataset)
+
+    assert set(BENCH_SHAPES) == {"polio6", "hcv10", "zikv15", "sars2"}
+    for shape, spec in BENCH_SHAPES.items():
+        with tempfile.TemporaryDirectory() as d:
+            ds = make_benchmark_dataset(d, shape, coverage=120.0)
+            assert len(ds.true_haplotypes) == spec["n_strains"]
+            segs, links = parse_gfa(ds.gfa_path)
+            seq = {s.name: s.seq for s in segs}
+            edges = {(l.src, l.dst) for l in links}
+            for strain, path in ds.strain_paths.items():
+                rec = seq[path[0]]
+                for a, b in zip(path, path[1:]):
+                    assert (a, b) in edges
+                    rec += seq[b][ds.k:]
+                assert rec == ds.true_haplotypes[strain]
+            if shape == "sars2":
+                assert ds.identity["min_pairwise_identity"] >= 0.995
+            else:
+                assert 0.88 <= ds.identity["min_pairwise_identity"] < 0.99
+
+
+def test_sars2_tiny_e2e_recovers_both_strains(tmp_path):
+    """The near-identical 2-strain SARS-CoV-2 wastewater shape (99.7%
+    identity, distinct abundances) round-trips through our pipeline."""
+    import logging
+    from types import SimpleNamespace
+
+    from vstrains_tpu import pipeline
+    from vstrains_tpu.evals.hivsim import make_benchmark_dataset
+    from vstrains_tpu.evals.nga50 import load_fasta, nga50_report
+
+    ds = make_benchmark_dataset(str(tmp_path / "data"), "sars2",
+                                coverage=300.0, genome_len=6000, seed=3)
+    outdir = str(tmp_path / "out")
+    for sub in ["gfa", "tmp", "paf", "aln"]:
+        os.makedirs(os.path.join(outdir, sub), exist_ok=True)
+    args = SimpleNamespace(
+        gfa_file=ds.gfa_path, path_file=ds.paths_path,
+        fwd=ds.fwd_path, rve=ds.rve_path, output_dir=outdir,
+        min_cov=None, min_len=250, dev=False, pe_batch_size=2048,
+        resume=False)
+    pipeline.run(args, logging.getLogger("sars2_e2e"))
+    rep = nga50_report(load_fasta(os.path.join(outdir, "strain.fasta")),
+                       load_fasta(ds.truth_path), k=31, min_block=500)
+    agg = rep.pop("_aggregate")
+    assert agg["refs_with_nga50"] == 2, rep

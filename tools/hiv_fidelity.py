@@ -9,15 +9,28 @@ BOTH pipelines on the identical inputs, and scores each output
 strain.fasta against the true genomes with the in-repo QUAST-style
 NGA50 (evals/nga50.py, mirroring evals/quast_evaluation.py:38-60).
 
+Round-5 decomposition (VERDICT r4 weak #1): our pipeline runs TWICE in
+separate fresh processes through the real CLI — run 1 against whatever
+persistent-compile-cache state exists ("cold-ish"; the artifact records
+the cache file count so the state is explicit), run 2 fully warm. Each
+run's per-stage walls (the pipeline's own timings.json) land in the
+artifact, so the headline separates compile warmup from steady state
+instead of one opaque wall.
+
 The reference runs via shims/ exactly as in
-tests/test_reference_pipeline_ab.py. Its PE inference is a pure-Python
-per-read loop (~220 reads/s), so the reference leg takes ~30-40 min at
-389k pairs; HIV_SKIP_REF=1 skips it.
+tests/test_reference_pipeline_ab.py; HIV_SKIP_REF=1 skips it. Fairness
+caveat (recorded in BENCHMARKS.md): the shims re-implement graph-tool's
+API in pure Python, which is slower than the real C++ graph-tool on the
+graph stages, so the reference wall is an overestimate of a native
+reference install on those stages — but its PE stage (the dominant
+cost) is the reference's own Python, unshimmed.
 
 Env: HIV_COVERAGE (20000), HIV_SEED (0), HIV_WORKDIR (tmp),
-HIV_OUT (hiv_fidelity_r4.json), HIV_SKIP_REF, HIV_REF_TIMEOUT (14400).
+HIV_OUT (hiv_fidelity_r5.json), HIV_SKIP_REF, HIV_REF_TIMEOUT (14400),
+HIV_OURS_RUNS (2).
 """
 
+import glob
 import json
 import logging
 import os
@@ -26,29 +39,42 @@ import subprocess
 import sys
 import tempfile
 import time
-from types import SimpleNamespace
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.expanduser("~/.cache/vstrains_tpu_jax"))
-os.environ.setdefault("VSTRAINS_FORCE_BACKEND", "bench")
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 REFERENCE = "/root/reference"
 
 
-def run_ours(data, outdir):
-    from vstrains_tpu import pipeline
-    args = SimpleNamespace(
-        gfa_file=data.gfa_path, path_file=data.paths_path,
-        fwd=data.fwd_path, rve=data.rve_path,
-        output_dir=outdir, min_cov=None, min_len=250, dev=False,
-        pe_batch_size=16384, resume=False)
-    for sub in ["gfa", "tmp", "paf", "aln"]:
-        os.makedirs(os.path.join(outdir, sub), exist_ok=True)
-    logger = logging.getLogger("hiv_fidelity")
-    logger.setLevel(logging.INFO)
-    pipeline.run(args, logger)
+def _cache_file_count() -> int:
+    d = os.environ["JAX_COMPILATION_CACHE_DIR"]
+    return sum(1 for p in glob.glob(os.path.join(d, "*"))
+               if os.path.isfile(p))
+
+
+def run_ours_subprocess(data, outdir, timeout=3600):
+    """One fresh-process run through the production CLI — exactly what a
+    user pays, including process start, jax init, and compile-cache
+    loads."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = f"{REPO}:/root/.axon_site"
+    env.setdefault("VSTRAINS_FORCE_BACKEND", "bench")
+    t0 = time.time()
+    r = subprocess.run(
+        [sys.executable, "-m", "vstrains_tpu.cli",
+         "-a", "spades", "-g", data.gfa_path, "-p", data.paths_path,
+         "-fwd", data.fwd_path, "-rve", data.rve_path, "-o", outdir,
+         "--pe-batch-size", "16384"],
+        env=env, capture_output=True, text=True, timeout=timeout)
+    wall = time.time() - t0
+    if r.returncode != 0:
+        raise RuntimeError(f"ours failed:\n{r.stdout[-3000:]}\n"
+                           f"{r.stderr[-3000:]}")
+    with open(os.path.join(outdir, "timings.json")) as f:
+        timings = json.load(f)
+    return wall, timings
 
 
 def run_reference(data, outdir, timeout):
@@ -91,9 +117,10 @@ def main():
     coverage = float(os.environ.get("HIV_COVERAGE", 20000))
     seed = int(os.environ.get("HIV_SEED", 0))
     out_json = os.environ.get("HIV_OUT",
-                              os.path.join(REPO, "hiv_fidelity_r4.json"))
+                              os.path.join(REPO, "hiv_fidelity_r5.json"))
     skip_ref = os.environ.get("HIV_SKIP_REF", "") not in ("", "0")
     ref_timeout = float(os.environ.get("HIV_REF_TIMEOUT", 14400))
+    n_runs = int(os.environ.get("HIV_OURS_RUNS", 2))
     workdir = os.environ.get("HIV_WORKDIR") or tempfile.mkdtemp(
         prefix="hiv_fidelity_")
     os.makedirs(workdir, exist_ok=True)
@@ -114,19 +141,41 @@ def main():
         "coverage": coverage,
         "read_pairs": data.n_pairs,
         "graph": data.stats,
+        "dataset_gen_seconds": round(gen_s, 1),
     }
 
     import jax
     rec["backend"] = jax.default_backend()
 
-    ours_dir = os.path.join(workdir, "ours")
-    t0 = time.time()
-    run_ours(data, ours_dir)
-    rec["ours_wall_seconds"] = round(time.time() - t0, 1)
-    rec["ours"] = score(os.path.join(ours_dir, "strain.fasta"),
-                        data.truth_path)
-    print(f"# ours: {rec['ours_wall_seconds']}s {rec['ours']}",
-          file=sys.stderr)
+    runs = []
+    ours_score = None
+    for i in range(n_runs):
+        ours_dir = os.path.join(workdir, f"ours{i}")
+        cache_before = _cache_file_count()
+        wall, timings = run_ours_subprocess(data, ours_dir)
+        run = {
+            "wall_seconds": round(wall, 1),
+            "pipeline_seconds": timings["total_seconds"],
+            "process_overhead_seconds": round(
+                wall - timings["total_seconds"], 1),
+            "cache_files_before": cache_before,
+            "cache_files_after": _cache_file_count(),
+            "stages": {s["stage"]: s["seconds"]
+                       for s in timings["stages"]},
+        }
+        runs.append(run)
+        print(f"# ours run{i}: {run}", file=sys.stderr)
+        sc = score(os.path.join(ours_dir, "strain.fasta"),
+                   data.truth_path)
+        if ours_score is None:
+            ours_score = sc
+        else:
+            assert sc == ours_score, "runs disagree on output strains"
+    rec["ours_runs"] = runs
+    rec["ours_wall_seconds_cold"] = runs[0]["wall_seconds"]
+    rec["ours_wall_seconds_warm"] = runs[-1]["wall_seconds"]
+    rec["ours"] = ours_score
+    print(f"# ours: {ours_score}", file=sys.stderr)
 
     if skip_ref:
         rec["reference"] = "skipped (HIV_SKIP_REF)"
@@ -139,9 +188,15 @@ def main():
                                  data.truth_path)
         print(f"# reference: {rec['reference_wall_seconds']}s "
               f"{rec['reference']}", file=sys.stderr)
-        if rec.get("ours_wall_seconds"):
-            rec["speedup"] = round(rec["reference_wall_seconds"]
-                                   / rec["ours_wall_seconds"], 1)
+        rec["speedup_cold"] = round(rec["reference_wall_seconds"]
+                                    / rec["ours_wall_seconds_cold"], 1)
+        rec["speedup_warm"] = round(rec["reference_wall_seconds"]
+                                    / rec["ours_wall_seconds_warm"], 1)
+        rec["fairness_note"] = (
+            "the reference runs on pure-Python shims of graph-tool/"
+            "gfapy (slower than its native C++ deps on graph stages); "
+            "its PE stage — the dominant cost — is the reference's own "
+            "unshimmed Python")
 
     with open(out_json, "w") as f:
         json.dump(rec, f, indent=2)

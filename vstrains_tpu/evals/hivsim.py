@@ -386,24 +386,51 @@ def _sample_reads(genomes: Dict[str, str], abundances: Dict[str, float],
 # top-level dataset
 # --------------------------------------------------------------------------
 
-def make_hiv_dataset(out_dir: str,
-                     genome_len: int = 9719,
-                     km: int = 56,
-                     coverage: float = 20000.0,
-                     read_len: int = 250,
-                     abundances: Sequence[float] = (
-                         10.0, 15.0, 20.0, 25.0, 30.0),
-                     phase_limit: int = 250,
-                     max_contig_len: int = 2500,
-                     sub_rate: float = 0.003,
-                     indel_rate: float = 1e-4,
-                     n_rate: float = 5e-4,
-                     seed: int = 0) -> HivDataset:
-    """Build the full dataset under out_dir. coverage is the TOTAL
-    mixture coverage (the labmix's 20,000x), split by `abundances`."""
+def simulate_random_phylogeny(n_strains: int, genome_len: int,
+                              seed: int = 0,
+                              branch_rate: Tuple[float, float] = (
+                                  0.004, 0.012),
+                              indels_per_branch: int = 3
+                              ) -> Tuple[Dict[str, str], Dict[str, float]]:
+    """Evolve n_strains leaf genomes down a RANDOM binary phylogeny
+    (repeatedly split a random extant lineage; per-branch substitution
+    rates uniform in `branch_rate`) — the generalization of the fixed
+    5-leaf HIV tree to the reference's other published mixture sizes
+    (6-Polio / 10-HCV / 15-ZIKV / 2-SARS-CoV-2,
+    /root/reference/README.md:204-211). Nested variation arises the
+    same way: clade-shared substitutions accumulate before each split."""
+    rng = np.random.RandomState(seed)
+    lineages = [rng.randint(0, 4, genome_len).astype(np.int8)]
+    while len(lineages) < n_strains:
+        parent = lineages.pop(rng.randint(len(lineages)))
+        for _ in range(2):
+            rate = rng.uniform(*branch_rate)
+            lineages.append(_evolve(parent, rng, rate,
+                                    rng.randint(1, indels_per_branch + 1)))
+    genomes = {f"s{i + 1}": _BASES[lin.astype(np.intp)].tobytes().decode()
+               for i, lin in enumerate(lineages)}
+    return genomes, _identity_stats(genomes)
+
+
+def make_strain_dataset(out_dir: str,
+                        genomes: Dict[str, str],
+                        abundances: Dict[str, float],
+                        identity: Dict[str, float],
+                        km: int = 56,
+                        coverage: float = 20000.0,
+                        read_len: int = 250,
+                        phase_limit: int = 250,
+                        max_contig_len: int = 2500,
+                        sub_rate: float = 0.003,
+                        indel_rate: float = 1e-4,
+                        n_rate: float = 5e-4,
+                        seed: int = 0) -> HivDataset:
+    """Build the full dataset (graph, contigs, reads, truth) under
+    out_dir from pre-evolved strain genomes. coverage is the TOTAL
+    mixture coverage, split by `abundances`."""
     os.makedirs(out_dir, exist_ok=True)
-    genomes, ident = simulate_strains(genome_len, seed=seed)
-    ab = {n: a for n, a in zip(_LEAVES, abundances)}
+    ident = identity
+    ab = dict(abundances)
     unitigs, upaths = _build_unitigs(genomes, km)
     k = km - 1
 
@@ -476,3 +503,78 @@ def make_hiv_dataset(out_dir: str,
                "mean_unitig_len": round(float(np.mean(
                    [len(u) for u in unitigs])), 1),
                "coverage": coverage, "read_len": read_len})
+
+
+def make_hiv_dataset(out_dir: str,
+                     genome_len: int = 9719,
+                     km: int = 56,
+                     coverage: float = 20000.0,
+                     read_len: int = 250,
+                     abundances: Sequence[float] = (
+                         10.0, 15.0, 20.0, 25.0, 30.0),
+                     phase_limit: int = 250,
+                     max_contig_len: int = 2500,
+                     sub_rate: float = 0.003,
+                     indel_rate: float = 1e-4,
+                     n_rate: float = 5e-4,
+                     seed: int = 0) -> HivDataset:
+    """The flagship 5-strain HIV labmix shape: fixed subtype-B-like
+    phylogeny (_TREE), ~9.7kb genomes, 20,000x. Delegates to
+    make_strain_dataset — behavior identical to the round-4 generator
+    (same rng consumption, same file contract)."""
+    genomes, ident = simulate_strains(genome_len, seed=seed)
+    ab = {n: a for n, a in zip(_LEAVES, abundances)}
+    return make_strain_dataset(
+        out_dir, genomes, ab, ident, km=km, coverage=coverage,
+        read_len=read_len, phase_limit=phase_limit,
+        max_contig_len=max_contig_len, sub_rate=sub_rate,
+        indel_rate=indel_rate, n_rate=n_rate, seed=seed)
+
+
+# --------------------------------------------------------------------------
+# the reference's other published benchmark shapes
+# (/root/reference/README.md:204-211: savage-benchmark simulated
+# mixtures at 20,000x + the 2-strain SARS-CoV-2 wastewater pair at
+# 4,000x). Genome lengths are the real virus sizes; divergence ranges
+# are simulation parameters chosen to land in each mixture's regime —
+# SARS-CoV-2 lineages are near-identical (>99.5%), the savage mixtures
+# are 2-7% divergent.
+# --------------------------------------------------------------------------
+
+BENCH_SHAPES = {
+    "polio6": dict(n_strains=6, genome_len=7440, coverage=20000.0,
+                   branch_rate=(0.004, 0.012),
+                   abundances=(8.0, 11.0, 14.0, 18.0, 22.0, 27.0)),
+    "hcv10": dict(n_strains=10, genome_len=9646, coverage=20000.0,
+                  branch_rate=(0.005, 0.014),
+                  abundances=(5.0, 6.5, 8.0, 9.5, 11.0, 12.5, 14.0,
+                              15.5, 17.0, 18.5)),
+    "zikv15": dict(n_strains=15, genome_len=10807, coverage=20000.0,
+                   branch_rate=(0.005, 0.014),
+                   abundances=(3.0, 3.8, 4.6, 5.4, 6.2, 7.0, 7.8, 8.6,
+                               9.4, 10.2, 11.0, 11.8, 12.6, 13.4, 14.2)),
+    "sars2": dict(n_strains=2, genome_len=29903, coverage=4000.0,
+                  branch_rate=(0.0008, 0.0018),
+                  abundances=(35.0, 65.0)),
+}
+
+
+def make_benchmark_dataset(out_dir: str, shape: str, seed: int = 0,
+                           coverage: float = None, **overrides
+                           ) -> HivDataset:
+    """One of the reference's published mixture shapes (BENCH_SHAPES)
+    as a ready-to-run dataset; `coverage`/overrides adjust the recipe
+    (e.g. a cheap low-coverage variant for tests)."""
+    spec = dict(BENCH_SHAPES[shape])
+    spec.update(overrides)
+    n_strains = spec.pop("n_strains")
+    genome_len = spec.pop("genome_len")
+    branch_rate = spec.pop("branch_rate")
+    abundances = spec.pop("abundances")
+    if coverage is not None:
+        spec["coverage"] = coverage
+    genomes, ident = simulate_random_phylogeny(
+        n_strains, genome_len, seed=seed, branch_rate=branch_rate)
+    ab = {n: a for n, a in zip(sorted(genomes), abundances)}
+    return make_strain_dataset(out_dir, genomes, ab, ident, seed=seed,
+                               **spec)

@@ -32,8 +32,14 @@ import numpy as np
 from vstrains_tpu.core.seq import revcomp_str
 
 
-def _exact_blocks(contig: str, ref: str, k: int) -> List[Tuple[int, int]]:
-    """Maximal exact-match blocks as (ref_start, ref_end) half-open."""
+def _exact_blocks(contig: str, ref: str, k: int
+                  ) -> List[Tuple[int, int, int]]:
+    """Maximal exact-match blocks as (ref_start, ref_end, exact_bases)
+    half-open; exact_bases counts only anchor-covered positions, NOT
+    the substitution/indel gap interiors the merge spans — reference
+    assignment must rank by true sequence agreement, or two
+    near-identical references (the SARS-CoV-2 wastewater regime, 99.7%
+    identity) both capture every contig via gap-padded spans."""
     if len(contig) < k or len(ref) < k:
         return []
     index: Dict[str, List[int]] = {}
@@ -58,46 +64,47 @@ def _exact_blocks(contig: str, ref: str, k: int) -> List[Tuple[int, int]]:
         blocks.append((d, start, prev + k))
     if not blocks:
         return []
-    # merge same-diagonal blocks across small substitution gaps
+    # merge same-diagonal blocks across small substitution gaps; the
+    # span extends over the gap but exact_bases sums only the parts
     blocks.sort()
-    merged: List[Tuple[int, int, int]] = []
+    merged: List[Tuple[int, int, int, int]] = []  # (d, s, e, exact)
     for d, s, e in blocks:
         if merged and merged[-1][0] == d:
-            pd, ps, pe = merged[-1]
+            pd, ps, pe, px = merged[-1]
             gap = s - pe
             span = e - ps
             if 0 <= gap <= max(8, int(0.05 * span)):
-                merged[-1] = (d, ps, e)
+                merged[-1] = (d, ps, e, px + (e - s))
                 continue
-        merged.append((d, s, e))
+        merged.append((d, s, e, e - s))
     # chain near-diagonal blocks across small indels: the merged span
     # counts as one alignment (QUAST alignments likewise include
     # bounded mismatch/indel interior)
     merged.sort(key=lambda b: (b[1], b[2]))
-    out: List[Tuple[int, int]] = []
+    out: List[Tuple[int, int, int]] = []
     used = [False] * len(merged)
-    for i, (d, s, e) in enumerate(merged):
+    for i, (d, s, e, x) in enumerate(merged):
         if used[i]:
             continue
-        cs, ce, cd = s, e, d
+        cs, ce, cd, cx = s, e, d, x
         for j in range(i + 1, len(merged)):
             if used[j]:
                 continue
-            dj, sj, ej = merged[j]
+            dj, sj, ej, xj = merged[j]
             if sj - ce > 30:
                 break
             if abs(dj - cd) <= 20 and -k < sj - ce <= 30:
-                ce, cd = max(ce, ej), dj
+                ce, cd, cx = max(ce, ej), dj, cx + xj
                 used[j] = True
-        out.append((cs, ce))
+        out.append((cs, ce, cx))
     return out
 
 
-def _aligned(contig: str, ref: str, k: int) -> List[Tuple[int, int]]:
+def _aligned(contig: str, ref: str, k: int) -> List[Tuple[int, int, int]]:
     fwd = _exact_blocks(contig, ref, k)
     rev = _exact_blocks(revcomp_str(contig), ref, k)
-    return fwd if (sum(e - s for s, e in fwd)
-                   >= sum(e - s for s, e in rev)) else rev
+    return fwd if (sum(x for _, _, x in fwd)
+                   >= sum(x for _, _, x in rev)) else rev
 
 
 def _union_len(blocks: Sequence[Tuple[int, int]]) -> int:
@@ -125,15 +132,19 @@ def nga50_report(contigs: Dict[str, str], refs: Dict[str, str],
     for cname, cseq in contigs.items():
         if len(cseq) < min_block:
             continue
+        # assignment ranks by EXACT-anchored bases (true agreement),
+        # so between near-identical references the real origin wins;
+        # gap-padded spans only feed the coverage/NGA50 block lengths
         best, best_blocks, best_total = None, [], 0
         for rname, rseq in refs.items():
             blocks = _aligned(cseq, rseq, k)
-            total = sum(e - s for s, e in blocks)
+            total = sum(x for _, _, x in blocks)
             if total > best_total:
                 best, best_blocks, best_total = rname, blocks, total
         if best is not None:
             per_ref_blocks[best].extend(
-                b for b in best_blocks if b[1] - b[0] >= min_block)
+                (s, e) for s, e, _ in best_blocks
+                if e - s >= min_block)
     report = {}
     for rname, rseq in refs.items():
         blocks = per_ref_blocks[rname]
