@@ -1897,25 +1897,93 @@ class _CompileRace:
         self._cpu_events: Dict[int, "object"] = {}
         self._warm_started: Dict[int, float] = {}
         self._accel_failed = False
-        self._grace = float(os.environ.get("VSTRAINS_RACE_GRACE", "2.0"))
+        # Grace before the CPU backend starts compiling. Round-5
+        # measurement: a PERSISTENT-CACHE HIT still costs ~35s on a
+        # relay-attached device (executable deserialization + upload;
+        # second dispatch 6 ms), so the 2 s grace made the CPU win the
+        # race on every warm fresh process — 70-137 s on the CPU
+        # backend vs ~2 s accel (tools/hiv_pe_profile.py). When the
+        # cache dir holds an executable for this kernel, a hit is
+        # likely: wait out the load before spending CPU cycles (a true
+        # miss then just delays CPU overlap by the warm grace, a small
+        # slice of the 300 s relay compile).
+        grace_default = 2.0
+        if self._cache_has_kernel():
+            grace_default = float(os.environ.get(
+                "VSTRAINS_RACE_GRACE_WARM", "90.0"))
+        self._grace = float(os.environ.get("VSTRAINS_RACE_GRACE",
+                                           str(grace_default)))
+        # Hard ceiling on waiting for the accelerator warm-up: relay
+        # tunnels have been observed to WEDGE a cache-load/compile RPC
+        # indefinitely (round 5: a trivial jnp op hung >2 min on the
+        # same tunnel minutes after a 97 s run). Past this, the run
+        # proceeds on the CPU backend (the blocked daemon thread is
+        # abandoned; if it ever returns, ready() still lets remaining
+        # batches use the accelerator).
+        self._warm_timeout = float(os.environ.get(
+            "VSTRAINS_WARM_TIMEOUT", "300.0"))
         # pending production batches: (kind, payload, Tp, nbytes)
         self._pending: list = []
         self._pending_bytes = 0
         self.cpu_batches = 0
-        kw = dict(probe_kw)
-        kw["stats_impl"] = "scatter"   # Pallas/one-hot are accel picks
-        with jax.default_device(cpu_dev):
-            if "pays" in kw:
-                kw["pays"] = jnp.asarray(np.asarray(probe_kw["pays"]))
-            self._tab = tuple(jnp.asarray(np.asarray(a)) for a in tab)
-            self._bstarts = jnp.asarray(np.asarray(bstarts))
-            self._acc_nm = jnp.zeros((num_nodes, num_nodes), jnp.int32)
-            self._acc_sm = jnp.zeros((num_nodes, num_nodes), jnp.int32)
-        self._kw = kw
+        # CPU-side state (table copies, accumulators) is built LAZILY in
+        # the cpu-warm daemon thread, from the HOST-side table arrays —
+        # never by pulling the accelerator copies back D2H. Round-5
+        # lesson: the eager D2H pull here wedged the whole driver inside
+        # __init__ when the relay tunnel hung, before any warm thread or
+        # fallback could exist (and at metaSPAdes scale it was a
+        # needless ~170 MB tunnel round-trip even when healthy).
+        self._cpu_state_ready = threading.Event()
         self._node64 = np.zeros((num_nodes, num_nodes), np.int64)
         self._short64 = np.zeros((num_nodes, num_nodes), np.int64)
         self._spill_every = max(1, (2**30) // max(batch_size, 1))
         self._since = 0
+
+    def _ensure_cpu_state(self) -> None:
+        """Build the CPU-backend table copies and accumulators from host
+        numpy (idempotent; runs inside the cpu-warm daemon thread)."""
+        if self._cpu_state_ready.is_set():
+            return
+        kw = dict(self._probe_kw)
+        kw["stats_impl"] = "scatter"   # Pallas/one-hot are accel picks
+        t = self._table
+        probe = kw.get("probe")
+        with jax.default_device(self._cpu):
+            empty = jnp.zeros(0, jnp.int32)
+            if "pays" in kw:
+                kw["pays"] = jnp.asarray(
+                    _build_sortfill_payloads(t, kw["node_bits"]))
+            # mirror the driver's shape contract: the sortfill probe
+            # never reads h2/node, lookup alone reads bucket_starts
+            if probe == "sortfill":
+                h2 = node = empty
+            else:
+                h2 = jnp.asarray(t.h2)
+                node = jnp.asarray(t.node)
+            self._tab = (jnp.asarray(t.h1_biased), h2, node,
+                         jnp.asarray(t.seq_lens))
+            self._bstarts = (jnp.asarray(t.bucket_starts)
+                             if probe == "lookup"
+                             and t.bucket_starts is not None else empty)
+            self._acc_nm = jnp.zeros((self._N, self._N), jnp.int32)
+            self._acc_sm = jnp.zeros((self._N, self._N), jnp.int32)
+        self._kw = kw
+        self._cpu_state_ready.set()
+
+    @staticmethod
+    def _cache_has_kernel() -> bool:
+        """True when the persistent compilation cache holds at least one
+        executable of the fused batch kernel (any shape) — the signal
+        that a cache hit is plausible and the CPU fallback should wait
+        out the relay's executable load before compiling."""
+        try:
+            cache_dir = jax.config.jax_compilation_cache_dir
+            if not cache_dir or not os.path.isdir(cache_dir):
+                return False
+            return any(e.startswith("jit__pe_batch_fused")
+                       for e in os.listdir(cache_dir))
+        except Exception:
+            return False
 
     def start_warm(self, Tp: int) -> None:
         if Tp in self._events:
@@ -1966,6 +2034,7 @@ class _CompileRace:
 
         def warm_cpu():
             try:
+                self._ensure_cpu_state()
                 with jax.default_device(self._cpu):
                     acc0 = jnp.zeros((self._N, self._N), jnp.int32)
                     acc1 = jnp.zeros((self._N, self._N), jnp.int32)
@@ -1998,7 +2067,8 @@ class _CompileRace:
         starts after the grace period, so a warm accelerator cache wins
         the race before the CPU backend spends a cycle."""
         waited = self._time.monotonic() - self._warm_started.get(Tp, 0.0)
-        if self._accel_failed or waited >= self._grace:
+        if self._accel_failed or waited >= min(self._grace,
+                                               self._warm_timeout):
             self._start_cpu_warm(Tp)
         if self._cpu_ready(Tp) and kind == "wire":
             self.cpu_batch(kind, payload, Tp, self._table.max_dup)
@@ -2047,7 +2117,11 @@ class _CompileRace:
                 self._pending_bytes -= nbytes
                 yield kind, payload, Tp
                 continue
-            self._start_cpu_warm(Tp)
+            waited = (self._time.monotonic()
+                      - self._warm_started.get(Tp, 0.0))
+            if self._accel_failed or waited >= min(self._grace,
+                                                   self._warm_timeout):
+                self._start_cpu_warm(Tp)
             if self._cpu_ready(Tp):
                 self._pending.pop(0)
                 self._pending_bytes -= nbytes
@@ -2066,6 +2140,7 @@ class _CompileRace:
             self._time.sleep(0.02)
 
     def cpu_batch(self, kind, payload, Tp: int, max_dup: int) -> None:
+        self._ensure_cpu_state()
         with jax.default_device(self._cpu):
             if kind == "wire":
                 self._acc_nm, self._acc_sm = _pe_batch_fused_wire(
@@ -2079,12 +2154,23 @@ class _CompileRace:
                     self._acc_nm, self._acc_sm, *self._tab,
                     self._bstarts, split_len=self._split_len,
                     max_dup=max_dup, num_nodes=self._N, **self._kw)
+        # SYNCHRONOUS on purpose: with async dispatch the CPU backend
+        # claimed the entire buffer in milliseconds the moment its
+        # compile landed, then spent 60s+ chewing it while the
+        # accelerator (ready seconds later) sat idle — the round-5 HIV
+        # warm-run regression (17/17 batches on CPU, 70.3 s vs 1.9 s).
+        # Blocking per batch makes the CPU claim work only at the rate
+        # it actually processes it; drain_remaining re-checks the
+        # accelerator between every batch.
+        jax.block_until_ready((self._acc_nm, self._acc_sm))
         self.cpu_batches += 1
         self._since += 1
         if self._since >= self._spill_every:
             self._spill()
 
     def _spill(self) -> None:
+        if not self._cpu_state_ready.is_set():
+            return  # no CPU batch ever ran; nothing to spill
         self._node64 += np.asarray(self._acc_nm, dtype=np.int64)
         self._short64 += np.asarray(self._acc_sm, dtype=np.int64)
         with jax.default_device(self._cpu):
