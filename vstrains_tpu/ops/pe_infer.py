@@ -2250,6 +2250,18 @@ def infer_pe_links(ids: Sequence[str], seqs: Sequence[str],
     budget_rows = max(512, (1_500_000_000 // (12 * (N + 1))) // 2)
     sparse = (stats_mode == "sparse"
               or (stats_mode == "auto" and batch_size > budget_rows))
+    # Backend-aware early cutover: the MXU makes the B*N^2 pair matmuls
+    # nearly free on TPU, but on the CPU backend they dominate from
+    # ~1.5k nodes (measured: N=1740 at 385k pairs ran ~50-100 s/batch
+    # dense — the matmuls are ~5e10 int MACs per batch — vs seconds
+    # sparse). Large non-tiny CPU runs route to the sparse COO engine;
+    # results are bit-identical either way (tests/test_pe_infer.py).
+    if (stats_mode == "auto" and not sparse and N > 1024
+            and reads.num_pairs > 65536
+            and jax.default_backend() == "cpu"):
+        sparse = True
+        logger.info("cpu backend at N=%d: sparse COO engine "
+                    "(dense pair matmuls are MXU-shaped work)", N)
     # don't pad small datasets up to a huge batch (wasted compute and a
     # needless giant-shape compile)
     if reads.num_pairs and batch_size > reads.num_pairs:
