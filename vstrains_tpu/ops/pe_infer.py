@@ -822,9 +822,12 @@ _SORTFILL_MAX_NODE_BITS = 18
 _SORTFILL_MAX_DUP = 16
 # subsample the table keys riding the per-batch sort once the table is
 # large enough for the saved sort volume to beat the extra block gather
-# (outputs identical at any stride — pure perf tuning)
+# (outputs identical at any stride — pure perf tuning). Round-5 sweep
+# at N=50k (14.5M entries): stride 4 -> 70.0k reads/s, stride 8 ->
+# 74.3k, stride 16 -> 74.6k (plateau); mid-N keeps stride 4 (r4 tune).
 _SORTFILL_STRIDE = 4
 _SORTFILL_STRIDE_MIN_TABLE = 2_000_000
+_SORTFILL_STRIDE8_MIN_TABLE = 8_000_000
 
 
 def _sortfill_stride(num_entries: int) -> int:
@@ -832,6 +835,8 @@ def _sortfill_stride(num_entries: int) -> int:
     forced = os.environ.get("VSTRAINS_SORTFILL_STRIDE")
     if forced:
         return max(1, int(forced))
+    if num_entries >= _SORTFILL_STRIDE8_MIN_TABLE:
+        return 8
     return (_SORTFILL_STRIDE
             if num_entries >= _SORTFILL_STRIDE_MIN_TABLE else 1)
 
