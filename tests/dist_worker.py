@@ -46,8 +46,17 @@ def main():
         k + 1, jax.process_index(), jax.process_count())
     res = infer_pe_links_multihost(index2id, index2seq, stripe, k,
                                    batch_size=256)
+    # large-N path: the sparse COO engine with per-host COO DCN merge
+    from vstrains_tpu.parallel.distributed import \
+        infer_pe_links_sparse_multihost
+    sres = infer_pe_links_sparse_multihost(index2id, index2seq, stripe,
+                                           k, batch_size=256)
     if jax.process_index() == 0:
-        np.savez(out_npz, node_mat=res.node_mat, short_mat=res.short_mat)
+        np.savez(out_npz, node_mat=res.node_mat,
+                 short_mat=res.short_mat,
+                 pair_keys=sres.pair_keys, pair_counts=sres.pair_counts,
+                 short_keys=sres.short_keys,
+                 short_counts=sres.short_counts)
     return 0
 
 

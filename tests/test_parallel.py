@@ -285,3 +285,33 @@ def test_two_process_distributed_matches_serial(tmp_path):
                             batch_size=256)
     np.testing.assert_array_equal(merged["node_mat"], serial.node_mat)
     np.testing.assert_array_equal(merged["short_mat"], serial.short_mat)
+    # the sparse COO engine's two-process DCN merge must also equal the
+    # single-process sparse run
+    ssing = infer_pe_links(index2id, index2seq, reads, 21,
+                           batch_size=256, stats_mode="sparse")
+    np.testing.assert_array_equal(merged["pair_keys"], ssing.pair_keys)
+    np.testing.assert_array_equal(merged["pair_counts"],
+                                  ssing.pair_counts)
+    np.testing.assert_array_equal(merged["short_keys"],
+                                  ssing.short_keys)
+    np.testing.assert_array_equal(merged["short_counts"],
+                                  ssing.short_counts)
+
+
+def test_sparse_multihost_degrades_to_sharded(eight_devices):
+    """Single-process infer_pe_links_sparse_multihost == the sharded
+    sparse engine == single-chip sparse."""
+    from vstrains_tpu.parallel.distributed import \
+        infer_pe_links_sparse_multihost
+
+    rng = np.random.RandomState(67)
+    k = 11
+    refs = _random_refs(rng, 5, [70, 90, 110, 130, 150])
+    fwd, rve = _sample_reads(rng, refs, 80, 35, k)
+    batch = _make_batch(fwd, rve, k + 1)
+    ids = [str(i) for i in range(5)]
+    serial = infer_pe_links(ids, refs, batch, k, batch_size=32,
+                            stats_mode="sparse")
+    multi = infer_pe_links_sparse_multihost(ids, refs, batch, k,
+                                            model=2, batch_size=32)
+    _assert_sparse_equal(serial, multi)

@@ -30,8 +30,11 @@ import numpy as np
 import jax
 
 from vstrains_tpu.core.fastq import ReadPairBatch, load_read_pairs
-from vstrains_tpu.ops.pe_infer import PEResult
-from vstrains_tpu.parallel.mesh import infer_pe_links_sharded, make_mesh
+from vstrains_tpu.ops.pe_infer import (PEResult, PESparseResult,
+                                       _merge_coo)
+from vstrains_tpu.parallel.mesh import (infer_pe_links_sharded,
+                                        infer_pe_links_sparse_sharded,
+                                        make_mesh)
 
 _LOG = logging.getLogger(__name__)
 
@@ -107,6 +110,10 @@ def infer_pe_links_multihost(ids: Sequence[str], seqs: Sequence[str],
                                    logger=logger)
     if jax.process_count() == 1:
         return local
+    if isinstance(local, PESparseResult):
+        # the sharded driver auto-routed to the sparse COO engine
+        # (large N); merge COO chunks across hosts instead of matrices
+        return _merge_sparse_hosts(ids, local)
 
     # DCN merge: sum the int64 host matrices across processes. TPU jnp
     # lacks int64, so each matrix travels as (low31, high) int32 halves
@@ -125,3 +132,64 @@ def infer_pe_links_multihost(ids: Sequence[str], seqs: Sequence[str],
     short_mat = merge_int64(local.short_mat)
     return PEResult(list(ids), node_mat, short_mat, local.n_reads,
                     local.short_reads, local.used_reads)
+
+
+def _allgather_ragged_int64(arr: np.ndarray):
+    """process_allgather of per-host int64 arrays of DIFFERENT lengths:
+    gather sizes first, zero-pad to the max, travel as (low31, high)
+    int32 halves (TPU jnp lacks int64), reassemble exactly and strip
+    each host's padding. Returns the per-host list."""
+    import jax.numpy as jnp
+    from jax.experimental.multihost_utils import process_allgather
+
+    n = np.asarray([arr.shape[0]], np.int32)
+    sizes = np.asarray(process_allgather(jnp.asarray(n))).reshape(-1)
+    m = max(1, int(sizes.max()))
+    pad = np.zeros(m, np.int64)
+    pad[: arr.shape[0]] = arr
+    low = jnp.asarray((pad & 0x7FFFFFFF).astype(np.int32))
+    high = jnp.asarray((pad >> 31).astype(np.int32))
+    g_low = np.asarray(process_allgather(low), dtype=np.int64)
+    g_high = np.asarray(process_allgather(high), dtype=np.int64)
+    full = g_low + (g_high << 31)
+    return [full[i, : sizes[i]] for i in range(len(sizes))]
+
+
+def _merge_sparse_hosts(ids: Sequence[str],
+                        local: PESparseResult) -> PESparseResult:
+    """DCN merge of per-host sparse COO results: allgather the ragged
+    (keys, counts) chunks and re-reduce — integer sums over sorted
+    unique keys, bit-identical to a single-host run on the union of
+    stripes."""
+    pk = _allgather_ragged_int64(local.pair_keys)
+    pc = _allgather_ragged_int64(local.pair_counts)
+    sk = _allgather_ragged_int64(local.short_keys)
+    sc = _allgather_ragged_int64(local.short_counts)
+    pair_keys, pair_counts = _merge_coo(pk, pc)
+    short_keys, short_counts = _merge_coo(sk, sc)
+    return PESparseResult(list(ids), pair_keys, pair_counts,
+                          short_keys, short_counts, local.n_reads,
+                          local.short_reads, local.used_reads)
+
+
+def infer_pe_links_sparse_multihost(ids: Sequence[str],
+                                    seqs: Sequence[str],
+                                    local_reads: ReadPairBatch,
+                                    kmer_size: int, model: int = 1,
+                                    batch_size: int = 8192,
+                                    logger: logging.Logger = None
+                                    ) -> PESparseResult:
+    """Explicit multi-host large-N path: the sharded sparse COO engine
+    over this host's local devices (DP reads x TP table), per-host COO
+    chunks merged across processes. Single-process runs degrade to
+    infer_pe_links_sparse_sharded."""
+    logger = logger or _LOG
+    n_local = jax.local_device_count()
+    mesh = make_mesh(data=n_local // model, model=model,
+                     devices=jax.local_devices())
+    local = infer_pe_links_sparse_sharded(
+        ids, seqs, local_reads, kmer_size, mesh,
+        batch_size=batch_size, logger=logger)
+    if jax.process_count() == 1:
+        return local
+    return _merge_sparse_hosts(ids, local)
