@@ -107,3 +107,100 @@ def test_race_cold_cpu_progress_is_correct(monkeypatch):
     assert pe_infer._LAST_RACE_STATS["cpu_batches"] > 0, (
         "the slowed warm should have pushed at least one batch to the "
         "CPU side (grace=0)")
+
+
+def _set_cache_dir(request, path):
+    """Point jax's compilation cache dir at `path` for one test (the
+    config attr is a property — monkeypatch.setattr cannot restore
+    it)."""
+    import jax
+
+    prev = jax.config.jax_compilation_cache_dir
+    jax.config.update("jax_compilation_cache_dir", str(path))
+    request.addfinalizer(
+        lambda: jax.config.update("jax_compilation_cache_dir", prev))
+
+
+def test_cache_has_kernel_signal(tmp_path, request):
+    """_cache_has_kernel keys the warm grace off the persistent cache
+    dir's contents: any jit__pe_batch_fused* executable present means a
+    cache hit is plausible."""
+    _set_cache_dir(request, tmp_path)
+    assert not pe_infer._CompileRace._cache_has_kernel()
+    (tmp_path / "jit__pe_batch_fused_wire-abc123-cache").write_bytes(b"x")
+    assert pe_infer._CompileRace._cache_has_kernel()
+    # unrelated entries don't trigger it
+    for f in tmp_path.iterdir():
+        f.unlink()
+    (tmp_path / "jit_other_kernel-cache").write_bytes(b"x")
+    assert not pe_infer._CompileRace._cache_has_kernel()
+
+
+def _make_race(request, tmp_cache, with_kernel_file):
+    import jax
+
+    if with_kernel_file:
+        (tmp_cache / "jit__pe_batch_fused_wire-k-cache").write_bytes(b"x")
+    _set_cache_dir(request, tmp_cache)
+    ids, refs, batch, k = _workload(512, n_nodes=4)
+    from vstrains_tpu.ops.pe_infer import build_kmer_table
+    import jax.numpy as jnp
+    tbl = build_kmer_table(refs, k + 1)
+    empty = jnp.zeros(0, jnp.int32)
+    tab = (jnp.asarray(tbl.h1_biased), empty, empty,
+           jnp.asarray(tbl.seq_lens))
+    import logging
+    return pe_infer._CompileRace(
+        jax.devices("cpu")[0], tbl, tab, empty,
+        dict(stats_impl="scatter", probe="sort"), k + 1, 512, 4,
+        logging.getLogger("race_test"))
+
+
+def test_warm_grace_extends_on_plausible_cache_hit(tmp_path, request,
+                                                   monkeypatch):
+    """With a fused-kernel executable in the cache dir the CPU grace is
+    the warm default (90s); without one it stays 2s; explicit
+    VSTRAINS_RACE_GRACE always wins."""
+    monkeypatch.delenv("VSTRAINS_RACE_GRACE", raising=False)
+    race = _make_race(request, tmp_path, with_kernel_file=True)
+    assert race._grace == 90.0
+    for f in tmp_path.iterdir():
+        f.unlink()
+    race = _make_race(request, tmp_path, with_kernel_file=False)
+    assert race._grace == 2.0
+    monkeypatch.setenv("VSTRAINS_RACE_GRACE", "7.5")
+    race = _make_race(request, tmp_path, with_kernel_file=True)
+    assert race._grace == 7.5
+
+
+def test_race_cpu_state_is_lazy(tmp_path, request):
+    """Construction must NOT build CPU-device table copies (the eager
+    D2H pull wedged the driver when the relay hung); they appear only
+    once the CPU side actually runs, and finish() tolerates a run where
+    no CPU batch ever happened."""
+    race = _make_race(request, tmp_path, with_kernel_file=False)
+    assert not hasattr(race, "_tab")
+    assert not race._cpu_state_ready.is_set()
+    nm, sm = race.finish()   # no CPU work: zero matrices, no crash
+    assert nm.sum() == 0 and sm.sum() == 0
+    race._ensure_cpu_state()
+    assert race._cpu_state_ready.is_set()
+    assert len(race._tab) == 4
+
+
+def test_warm_timeout_overrides_grace(tmp_path, request, monkeypatch):
+    """VSTRAINS_WARM_TIMEOUT caps how long enqueue waits before starting
+    the CPU warm, even under the 90s warm grace — the wedged-tunnel
+    fallback."""
+    monkeypatch.delenv("VSTRAINS_RACE_GRACE", raising=False)
+    monkeypatch.setenv("VSTRAINS_WARM_TIMEOUT", "0")
+    race = _make_race(request, tmp_path, with_kernel_file=True)
+    assert race._grace == 90.0 and race._warm_timeout == 0.0
+    # a blocked accel warm: event registered but never set
+    race._events[128] = race._threading.Event()
+    race._warm_started[128] = race._time.monotonic()
+    import numpy as _np
+    wire = _np.zeros((512, pe_infer._wire_width(128)), _np.uint8)
+    race.enqueue("wire", wire, 128)
+    assert 128 in race._cpu_events, (
+        "warm timeout did not trigger the CPU warm under the long grace")
