@@ -55,6 +55,10 @@ def main():
     ap.add_argument("--read-len", type=int, default=150)
     ap.add_argument("--batch", type=int, default=16384)
     ap.add_argument("--k", type=int, default=55)
+    ap.add_argument("--engine", choices=("dense", "sparse"),
+                    default="dense",
+                    help="sparse = the large-N COO engine "
+                         "(infer_pe_links_sparse_sharded)")
     args = ap.parse_args()
 
     if os.environ.get("JAX_PLATFORMS") == "cpu":
@@ -66,6 +70,7 @@ def main():
     from vstrains_tpu.core.fastq import ReadPairBatch, _pack
     from vstrains_tpu.ops.pe_infer import infer_pe_links
     from vstrains_tpu.parallel.mesh import (infer_pe_links_sharded,
+                                            infer_pe_links_sparse_sharded,
                                             make_mesh)
 
     devs = jax.devices()
@@ -82,6 +87,7 @@ def main():
     ids = [str(i) for i in range(args.nodes)]
 
     result = {
+        "engine": args.engine,
         "backend": jax.default_backend(),
         "devices": n_dev,
         "hosts": jax.process_count(),
@@ -93,11 +99,14 @@ def main():
     }
 
     # single-chip baseline (the bit-equality oracle + the "1 chip" row)
+    stats_mode = "sparse" if args.engine == "sparse" else "auto"
     t0 = time.time()
-    base = infer_pe_links(ids, refs, batch, k, batch_size=args.batch)
+    base = infer_pe_links(ids, refs, batch, k, batch_size=args.batch,
+                          stats_mode=stats_mode)
     warm = time.time() - t0
     t0 = time.time()
-    base = infer_pe_links(ids, refs, batch, k, batch_size=args.batch)
+    base = infer_pe_links(ids, refs, batch, k, batch_size=args.batch,
+                          stats_mode=stats_mode)
     dt = time.time() - t0
     result["single_chip"] = {
         "reads_per_s": round(args.pairs / dt),
@@ -110,16 +119,23 @@ def main():
     for data, model in mesh_shapes(n_dev):
         mesh = make_mesh(data=data, model=model, devices=devs)
         label = f"{data}x{model}"
+        run = (infer_pe_links_sparse_sharded if args.engine == "sparse"
+               else infer_pe_links_sharded)
         t0 = time.time()
-        res = infer_pe_links_sharded(ids, refs, batch, k, mesh,
-                                     batch_size=args.batch)
+        res = run(ids, refs, batch, k, mesh, batch_size=args.batch)
         warm = time.time() - t0
         t0 = time.time()
-        res = infer_pe_links_sharded(ids, refs, batch, k, mesh,
-                                     batch_size=args.batch)
+        res = run(ids, refs, batch, k, mesh, batch_size=args.batch)
         dt = time.time() - t0
-        eq = (np.array_equal(res.node_mat, base.node_mat)
-              and np.array_equal(res.short_mat, base.short_mat))
+        if args.engine == "sparse":
+            eq = (np.array_equal(res.pair_keys, base.pair_keys)
+                  and np.array_equal(res.pair_counts, base.pair_counts)
+                  and np.array_equal(res.short_keys, base.short_keys)
+                  and np.array_equal(res.short_counts,
+                                     base.short_counts))
+        else:
+            eq = (np.array_equal(res.node_mat, base.node_mat)
+                  and np.array_equal(res.short_mat, base.short_mat))
         result["meshes"][label] = {
             "reads_per_s": round(args.pairs / dt),
             "wall_s": round(dt, 2),
