@@ -1939,6 +1939,7 @@ class _CompileRace:
         # fallback could exist (and at metaSPAdes scale it was a
         # needless ~170 MB tunnel round-trip even when healthy).
         self._cpu_state_ready = threading.Event()
+        self._cpu_state_lock = threading.Lock()
         self._node64 = np.zeros((num_nodes, num_nodes), np.int64)
         self._short64 = np.zeros((num_nodes, num_nodes), np.int64)
         self._spill_every = max(1, (2**30) // max(batch_size, 1))
@@ -1946,9 +1947,14 @@ class _CompileRace:
 
     def _ensure_cpu_state(self) -> None:
         """Build the CPU-backend table copies and accumulators from host
-        numpy (idempotent; runs inside the cpu-warm daemon thread)."""
-        if self._cpu_state_ready.is_set():
-            return
+        numpy (idempotent; runs inside the cpu-warm daemon thread —
+        locked, since multiple widths spawn multiple warm threads)."""
+        with self._cpu_state_lock:
+            if self._cpu_state_ready.is_set():
+                return
+            self._build_cpu_state()
+
+    def _build_cpu_state(self) -> None:
         kw = dict(self._probe_kw)
         kw["stats_impl"] = "scatter"   # Pallas/one-hot are accel picks
         t = self._table

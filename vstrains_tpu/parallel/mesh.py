@@ -678,8 +678,11 @@ def infer_pe_links_sparse_sharded(ids: Sequence[str],
             step = make_sparse_tp_step(mesh, split_len, N, cap, cap_c,
                                        depth, True, node_bits=node_bits,
                                        fill=fill, stride=stride)
+            # tshard3 is unused by the sortfill branch (node ids ride
+            # inside the payloads); ship a 1-column dummy instead of
+            # the full [S, M'] node array (~60 MB H2D at 50k)
             tab_args = (jnp.asarray(stab.h1_biased), pays_s,
-                        jnp.asarray(stab.node), seq_lens_j)
+                        jnp.zeros((n_model, 1), jnp.int32), seq_lens_j)
             logger.info("sharded sparse tp: sortfill (node_bits=%d, "
                         "%d table shards, cap_c=%d)", node_bits,
                         n_model, cap_c)
