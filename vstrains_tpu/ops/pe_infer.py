@@ -1151,15 +1151,14 @@ def _row_run_stats(node_key, kidx_v, num_nodes: int,
     if packed:
         # one scan plane: segment-start (pos, kidx) packed together.
         # kidx at the run start IS the run's min-k (the packed sort
-        # orders kidx ascending within each node run).
+        # orders kidx ascending within each node run). Propagating each
+        # run's start value is a plain running max: start values
+        # (pos << kbits | kidx) strictly increase with pos within a
+        # row and non-starts carry -1, so the most recent start IS the
+        # prefix max — one cummax primitive instead of a two-plane
+        # associative scan (bit-identical; round-5 tail work).
         sv = jnp.where(startf, (pos << kbits) | kidx_s, -1)
-
-        def comb(a, b):
-            fa, sa = a
-            fb, sb = b
-            return (fa | fb, jnp.where(fb, sb, jnp.maximum(sa, sb)))
-
-        _, ps = jax.lax.associative_scan(comb, (startf, sv), axis=1)
+        ps = jax.lax.cummax(sv, axis=1)
         startpos = ps >> kbits
         kmin = ps & kmask
     else:
