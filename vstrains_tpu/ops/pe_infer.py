@@ -1091,20 +1091,23 @@ def _sparse_expand_matches(q1, h2qi, valid, lo, tab_h1, tab_h2,
     return node_key, kidx_v
 
 
-@partial(jax.jit, static_argnames=("split_len", "depth", "cap"))
+@partial(jax.jit, static_argnames=("split_len", "depth", "cap",
+                                   "cap_c"))
 def _stats_sparse_kernel(q1, h2qi, valid, lo, lens, tab_h1, tab_h2,
                          tab_node, seq_lens, split_len: int,
-                         depth: int, cap: int):
+                         depth: int, cap: int, cap_c: int = 32):
     """Per-read saturated node lists without any N-wide tensor.
 
     Returns (sat_nodes [2B, cap] int32 ascending, -1 padded; overflow
-    bool: some read saturated more than cap nodes — the driver retries
-    the whole run with a larger cap, results unchanged)."""
+    bool: some read saturated more than cap nodes (or matched more
+    than cap_c distinct nodes) — the driver retries the whole run with
+    larger caps, results unchanged)."""
     K = q1.shape[1]
     node_key, kidx_v = _sparse_expand_matches(
         q1, h2qi, valid, lo, tab_h1, tab_h2, tab_node, depth)
     out, overflow, counts = _sparse_sat_tail(
-        node_key, kidx_v, lens, seq_lens, split_len, cap, kmax=K)
+        node_key, kidx_v, lens, seq_lens, split_len, cap, kmax=K,
+        cap_c=cap_c)
     return _sat_two_tier(out, overflow, counts, cap)
 
 
@@ -1201,16 +1204,51 @@ def _compact_rows(ok, node_s, cap: int):
     return out, overflow, counts
 
 
+def _sort_compact_runs(node_s, cnt, kmin, is_end, cap_c: int):
+    """Compact every run-end (node, count, min-k) triple to the first
+    cap_c columns via ONE multi-operand row sort keyed on the candidate
+    index (run ends appear node-ascending, so the compacted order
+    matches the scatter compaction bit-for-bit). Returns (valid, node,
+    cnt, kmin) as (B2, cap_c) planes + the candidate-overflow flag."""
+    B2, R = node_s.shape
+    csidx = jnp.cumsum(is_end.astype(jnp.int32), axis=1) - 1
+    cand_ovf = jnp.any(is_end & (csidx >= cap_c))
+    key = jnp.where(is_end & (csidx < cap_c), csidx, _INF)
+    key_s, node_c, cnt_c, kmin_c = jax.lax.sort(
+        (key, node_s, cnt, kmin), dimension=1, num_keys=1)
+    valid = key_s[:, :cap_c] != _INF
+    return (valid, node_c[:, :cap_c], cnt_c[:, :cap_c],
+            kmin_c[:, :cap_c], cand_ovf)
+
+
 def _sparse_sat_tail(node_key, kidx_v, lens, seq_lens, split_len: int,
-                     cap: int, kmax: Optional[int] = None):
+                     cap: int, kmax: Optional[int] = None,
+                     cap_c: int = 32):
     """Shared tail of the sparse stats kernels: row-sort matched
     (node, k-index) slots, segmented scans for per-run (count, min-k),
-    the reference saturation test at run ends, and compaction into the
-    (2B, cap) saturated-node list + overflow flag."""
+    then TWO-PHASE saturation: compact ALL runs to (B2, cap_c) first
+    (one cheap multi-operand sort) and run the reference saturation
+    test on the narrow planes. The old single-phase tail gathered
+    seq_lens at every one of the (B2, R) positions — measured 67 ms of
+    the 117 ms tail at N=50k (tools/tail_split_probe.py); the narrow
+    gather is ~R/cap_c x smaller. A read with more than cap_c DISTINCT
+    matched nodes raises the overflow flag and the driver retries with
+    larger caps — results unchanged (same contract as the saturated
+    cap)."""
     node_s, cnt, kmin, is_end = _row_run_stats(
         node_key, kidx_v, seq_lens.shape[0], kmax)
-    ok = is_end & _sat_ok(node_s, cnt, kmin, lens, seq_lens, split_len)
-    return _compact_rows(ok, node_s, cap)
+    if cap_c >= node_s.shape[1]:
+        # cap_c covers every slot: the narrow phase cannot drop runs
+        ok = is_end & _sat_ok(node_s, cnt, kmin, lens, seq_lens,
+                              split_len)
+        return _compact_rows(ok, node_s, cap)
+    valid, node_c, cnt_c, kmin_c, cand_ovf = _sort_compact_runs(
+        node_s, cnt, kmin, is_end, cap_c)
+    ok = valid & _sat_ok(node_c, cnt_c, kmin_c, lens, seq_lens,
+                         split_len)
+    node_m = jnp.where(ok, node_c, _INF)
+    out, ovf2, counts = _compact_rows(ok, node_m, cap)
+    return out, cand_ovf | ovf2, counts
 
 
 def _sparse_run_stats_compact(node_key, kidx_v, num_nodes: int,
@@ -1224,17 +1262,17 @@ def _sparse_run_stats_compact(node_key, kidx_v, num_nodes: int,
     the dense TP path (parallel/mesh.py)."""
     node_s, cnt, kmin, is_end = _row_run_stats(
         node_key, kidx_v, num_nodes, kmax)
-    B2, R = node_s.shape
-    sidx = jnp.cumsum(is_end.astype(jnp.int32), axis=1) - 1
-    overflow = jnp.any(is_end & (sidx >= cap_c))
-    row = jax.lax.broadcasted_iota(jnp.int32, (B2, R), 0)
-    tgt = jnp.where(is_end & (sidx < cap_c), sidx, cap_c)
-    nodes = jnp.full((B2, cap_c), -1, jnp.int32).at[row, tgt].set(
-        node_s, mode="drop")
-    cnts = jnp.zeros((B2, cap_c), jnp.int32).at[row, tgt].set(
-        cnt, mode="drop")
-    kmins = jnp.full((B2, cap_c), _INF, jnp.int32).at[row, tgt].set(
-        kmin, mode="drop")
+    valid, node_c, cnt_c, kmin_c, overflow = _sort_compact_runs(
+        node_s, cnt, kmin, is_end, min(cap_c, node_s.shape[1]))
+    pad = cap_c - node_c.shape[1]
+    nodes = jnp.where(valid, node_c, -1)
+    cnts = jnp.where(valid, cnt_c, 0)
+    kmins = jnp.where(valid, kmin_c, _INF)
+    if pad > 0:  # cap_c exceeded the slot width; pad the planes
+        nodes = jnp.pad(nodes, ((0, 0), (0, pad)), constant_values=-1)
+        cnts = jnp.pad(cnts, ((0, 0), (0, pad)))
+        kmins = jnp.pad(kmins, ((0, 0), (0, pad)),
+                        constant_values=_INF)
     return nodes, cnts, kmins, overflow
 
 
@@ -1294,7 +1332,7 @@ def _sat_two_tier(out, overflow, counts, cap: int):
 def _sparse_sortfill_core(codes, lens, tab_h1, seq_lens, pays,
                           split_len: int, depth: int, cap: int,
                           num_nodes: int, fill: str, node_bits: int,
-                          stride: int = 1):
+                          stride: int = 1, cap_c: int = 32):
     node_t = _sortfill_node_slots(codes, lens, tab_h1, pays, split_len,
                                   num_nodes, fill=fill,
                                   node_bits=node_bits, stride=stride)
@@ -1305,17 +1343,17 @@ def _sparse_sortfill_core(codes, lens, tab_h1, seq_lens, pays,
     kidx_v = jnp.where(matched, kidx, _INF)
     out, overflow, counts = _sparse_sat_tail(
         node_key, kidx_v, lens, seq_lens, split_len, cap,
-        kmax=R // depth)
+        kmax=R // depth, cap_c=cap_c)
     return _sat_two_tier(out, overflow, counts, cap)
 
 
 @partial(jax.jit,
          static_argnames=("split_len", "depth", "cap", "num_nodes",
-                          "fill", "node_bits", "stride"))
+                          "fill", "node_bits", "stride", "cap_c"))
 def _stats_sparse_sortfill(fc, fl, rc, rl, tab_h1, seq_lens, pays,
                            split_len: int, depth: int, cap: int,
                            num_nodes: int, fill: str, node_bits: int,
-                           stride: int = 1):
+                           stride: int = 1, cap_c: int = 32):
     """Sparse saturated-node lists via the packed-payload probe: the
     whole per-batch pipeline (stack, hash, sortfill join, row-sort
     stats, saturation, compaction) in ONE dispatch, with no table
@@ -1325,21 +1363,22 @@ def _stats_sparse_sortfill(fc, fl, rc, rl, tab_h1, seq_lens, pays,
     codes, lens = _stack_ends(fc, fl, rc, rl)
     return _sparse_sortfill_core(codes, lens, tab_h1, seq_lens, pays,
                                  split_len, depth, cap, num_nodes, fill,
-                                 node_bits, stride)
+                                 node_bits, stride, cap_c=cap_c)
 
 
 @partial(jax.jit,
          static_argnames=("T", "split_len", "depth", "cap", "num_nodes",
-                          "fill", "node_bits", "stride"))
+                          "fill", "node_bits", "stride", "cap_c"))
 def _stats_sparse_sortfill_wire(wire, tab_h1, seq_lens, pays, T: int,
                                 split_len: int, depth: int, cap: int,
                                 num_nodes: int, fill: str,
-                                node_bits: int, stride: int = 1):
+                                node_bits: int, stride: int = 1,
+                                cap_c: int = 32):
     """_stats_sparse_sortfill fed by the compact wire format."""
     codes, lens = _unpack_wire(wire, T)
     return _sparse_sortfill_core(codes, lens, tab_h1, seq_lens, pays,
                                  split_len, depth, cap, num_nodes, fill,
-                                 node_bits, stride)
+                                 node_bits, stride, cap_c=cap_c)
 
 
 def _ragged_cross_np(av, ao, bv, bo, na, nb, N, triu=False):
@@ -2539,7 +2578,8 @@ def infer_pe_links(ids: Sequence[str], seqs: Sequence[str],
 def _infer_pe_links_sparse(ids, table: KmerTable, reads: ReadPairBatch,
                            batch_size: int, probe_mode: str,
                            logger: logging.Logger,
-                           cap: int = 16) -> "PESparseResult":
+                           cap: int = 16,
+                           cap_c: int = 32) -> "PESparseResult":
     """Large-N driver: same probe kernels, sparse per-batch stats + host
     COO accumulation. Footprint is independent of N, so metaSPAdes-scale
     graphs keep the full batch size."""
@@ -2658,13 +2698,13 @@ def _infer_pe_links_sparse(ids, table: KmerTable, reads: ReadPairBatch,
                     payload, tab_h1, seq_lens, pays, T=Tr,
                     split_len=split_len, depth=int(pays.shape[1]),
                     cap=cap, num_nodes=N, fill=fill,
-                    node_bits=node_bits, stride=stride)
+                    node_bits=node_bits, stride=stride, cap_c=cap_c)
             else:
                 head, sat_nodes = _stats_sparse_sortfill(
                     *payload, tab_h1, seq_lens, pays,
                     split_len=split_len, depth=int(pays.shape[1]),
                     cap=cap, num_nodes=N, fill=fill,
-                    node_bits=node_bits, stride=stride)
+                    node_bits=node_bits, stride=stride, cap_c=cap_c)
         else:
             fc, fl, rc, rl = payload
             codes, lens = _stack_ends(fc, fl, rc, rl)
@@ -2678,7 +2718,8 @@ def _infer_pe_links_sparse(ids, table: KmerTable, reads: ReadPairBatch,
                     codes, lens, tab_h1, split_len=split_len)
             head, sat_nodes = _stats_sparse_kernel(
                 q1, h2qi, valid, lo, lens, tab_h1, tab_h2, tab_node,
-                seq_lens, split_len=split_len, depth=depth, cap=cap)
+                seq_lens, split_len=split_len, depth=depth, cap=cap,
+                cap_c=cap_c)
         inflight.append((head, sat_nodes))
         if len(inflight) >= 2 * window:
             _flush(window)
@@ -2689,10 +2730,11 @@ def _infer_pe_links_sparse(ids, table: KmerTable, reads: ReadPairBatch,
             raise RuntimeError(
                 "a read saturated more than 256 nodes; graph too "
                 "repetitive for the sparse PE path")
-        logger.info("saturated-node cap %d overflowed; retrying with %d",
-                    cap, cap * 4)
+        logger.info("sparse caps %d/%d overflowed; retrying with %d/%d",
+                    cap, cap_c, cap * 4, cap_c * 4)
         return _infer_pe_links_sparse(ids, table, reads, batch_size,
-                                      probe_mode, logger, cap=cap * 4)
+                                      probe_mode, logger, cap=cap * 4,
+                                      cap_c=cap_c * 4)
 
     pk, pc = _merge_coo(pe_k, pe_c)
     sk, sc = _merge_coo(st_k, st_c)

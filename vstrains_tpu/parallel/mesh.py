@@ -481,7 +481,7 @@ def _sparse_head_rows(out, overflow, counts, H: int):
 
 def make_sparse_dp_step(mesh: Mesh, split_len: int, num_nodes: int,
                         node_bits: int, cap: int, fill: str,
-                        stride: int):
+                        stride: int, cap_c: int = 32):
     """Read-sharded sparse sortfill step: each data shard runs the full
     single-chip sparse pipeline (stack, hash, sortfill join, row-sort
     run stats, saturation, compaction) on its rows — per-read outputs
@@ -501,7 +501,7 @@ def make_sparse_dp_step(mesh: Mesh, split_len: int, num_nodes: int,
         kidx_v = jnp.where(matched, kidx, _INT32_MAX)
         out, overflow, counts = _sparse_sat_tail(
             node_key, kidx_v, lens, seq_lens, split_len, cap,
-            kmax=R // depth)
+            kmax=R // depth, cap_c=cap_c)
         return _sparse_head_rows(out, overflow, counts, H), out
 
     return jax.jit(shard_map(
@@ -514,7 +514,8 @@ def make_sparse_dp_step(mesh: Mesh, split_len: int, num_nodes: int,
 
 
 def make_sparse_dp_classic_step(mesh: Mesh, split_len: int,
-                                num_nodes: int, depth: int, cap: int):
+                                num_nodes: int, depth: int, cap: int,
+                                cap_c: int = 32):
     """Read-sharded sparse step with the classic join probe — taken when
     the graph exceeds the sortfill packing (node_bits > 18 or
     max_dup > 16); same contract as make_sparse_dp_step."""
@@ -528,7 +529,7 @@ def make_sparse_dp_classic_step(mesh: Mesh, split_len: int,
             q1, h2qi, valid, lo, tab_h1, tab_h2, tab_node, depth)
         out, overflow, counts = _sparse_sat_tail(
             node_key, kidx_v, lens, seq_lens, split_len, cap,
-            kmax=q1.shape[1])
+            kmax=q1.shape[1], cap_c=cap_c)
         return _sparse_head_rows(out, overflow, counts, H), out
 
     return jax.jit(shard_map(
@@ -653,7 +654,7 @@ def infer_pe_links_sparse_sharded(ids: Sequence[str],
             stride = (_sortfill_stride(table.num_entries)
                       if fill == "cummin" else 1)
             step = make_sparse_dp_step(mesh, split_len, N, node_bits,
-                                       cap, fill, stride)
+                                       cap, fill, stride, cap_c=cap_c)
             pays = jnp.asarray(_build_sortfill_payloads(table, node_bits))
             depth = int(pays.shape[1])
             tab_args = (jnp.asarray(table.h1_biased), pays, seq_lens_j)
@@ -661,7 +662,7 @@ def infer_pe_links_sparse_sharded(ids: Sequence[str],
                         "stride=%d, data=%d)", node_bits, stride, n_data)
         else:
             step = make_sparse_dp_classic_step(mesh, split_len, N,
-                                               depth, cap)
+                                               depth, cap, cap_c=cap_c)
             tab_args = (jnp.asarray(table.h1_biased),
                         jnp.asarray(table.h2), jnp.asarray(table.node),
                         seq_lens_j)
