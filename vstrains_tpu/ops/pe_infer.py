@@ -2237,6 +2237,32 @@ class _CompileRace:
         return self._node64, self._short64
 
 
+def build_table_auto(seqs: Sequence[str], split_len: int,
+                     logger: logging.Logger = None,
+                     probe_mode: str = "sort") -> KmerTable:
+    """The driver's default table construction: long node sequences
+    hash via the sequence-parallel halo kernel (sharded over the
+    device mesh) and short ones on host; bucket index per probe mode.
+    Exposed so the pipeline can build the table on a background thread
+    overlapping FASTQ loading (the 4.5-8s build at metaSPAdes scale is
+    the dominant E2E term now that the engine runs at device rate)."""
+    logger = logger or _LOG
+    sp = None
+    sp_cutoff = 8192
+    if (seqs and max((len(s) for s in seqs), default=0) >= sp_cutoff
+            and jax.device_count() > 1):
+        try:
+            from vstrains_tpu.parallel.mesh import make_mesh
+            sp = (make_mesh(model=1), sp_cutoff)
+            logger.info("SP table build over %d device(s) for nodes "
+                        ">= %d bp", sp[0].shape["data"], sp_cutoff)
+        except Exception as exc:
+            logger.debug("SP table build unavailable: %s", exc)
+    return build_kmer_table(
+        seqs, split_len, sp=sp,
+        bucket_index=True if probe_mode == "lookup" else "auto")
+
+
 def infer_pe_links(ids: Sequence[str], seqs: Sequence[str],
                    reads: ReadPairBatch, kmer_size: int,
                    batch_size: int = 16384,
@@ -2261,22 +2287,8 @@ def infer_pe_links(ids: Sequence[str], seqs: Sequence[str],
     logger = logger or _LOG
     split_len = kmer_size + 1
     if table is None:
-        # long node sequences hash via the sequence-parallel halo kernel
-        # (sharded over the device mesh); short ones on host
-        sp = None
-        sp_cutoff = 8192
-        if (seqs and max((len(s) for s in seqs), default=0) >= sp_cutoff
-                and jax.device_count() > 1):
-            try:
-                from vstrains_tpu.parallel.mesh import make_mesh
-                sp = (make_mesh(model=1), sp_cutoff)
-                logger.info("SP table build over %d device(s) for nodes "
-                            ">= %d bp", sp[0].shape["data"], sp_cutoff)
-            except Exception as exc:
-                logger.debug("SP table build unavailable: %s", exc)
-        table = build_kmer_table(
-            seqs, split_len, sp=sp,
-            bucket_index=True if probe_mode == "lookup" else "auto")
+        table = build_table_auto(seqs, split_len, logger,
+                                 probe_mode=probe_mode)
     else:
         assert table.split_len == split_len, (
             "prebuilt table k mismatch")

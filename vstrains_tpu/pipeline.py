@@ -65,7 +65,8 @@ class PipelineError(Exception):
     pass
 
 
-def _prefetch_pe_compile(ids, seqs, ksize, batch_size, fwd_path, logger):
+def _prefetch_pe_compile(ids, seqs, ksize, batch_size, fwd_path, logger,
+                         table_thread=None, table_box=None):
     """Best-effort background warm-up of the PE kernel compile.
 
     Accelerator compiles of the fused batch kernel cost tens of seconds
@@ -118,8 +119,15 @@ def _prefetch_pe_compile(ids, seqs, ksize, batch_size, fwd_path, logger):
         # threshold — force the accelerator for just this call via the
         # function argument (this runs on a daemon thread; mutating the
         # process-global env var would race the main thread's real call)
+        table = None
+        if table_thread is not None:
+            # reuse the pipeline's background table build instead of
+            # constructing a duplicate (4.5-8s of contended host CPU
+            # at metaSPAdes scale)
+            table_thread.join()
+            table = (table_box or {}).get("table")
         infer_pe_links(ids, seqs, warm, ksize, batch_size=batch_size,
-                       force_backend=True, logger=quiet)
+                       force_backend=True, table=table, logger=quiet)
         logger.debug("PE kernel compile prefetched (width %d)", width)
     except Exception as exc:  # never fail the pipeline from here
         logger.debug("PE compile prefetch skipped: %s", exc)
@@ -306,17 +314,39 @@ def run(args, logger: logging.Logger = None) -> int:
             seqs = [view1.nodes[i].seq for i in ids]
             import threading
             bsz = getattr(args, "pe_batch_size", 16384)
+            # the k-mer table build (4.5-8s at metaSPAdes scale, the
+            # dominant E2E term now that the engine streams at device
+            # rate) overlaps FASTQ loading on a background thread;
+            # the compile-prefetch thread reuses the same table
+            from vstrains_tpu.ops.pe_infer import build_table_auto
+            table_box = {}
+
+            def _build_table():
+                try:
+                    table_box["table"] = build_table_auto(
+                        seqs, ksize + 1, logger)
+                except Exception as exc:  # main thread rebuilds
+                    logger.warning("background table build failed: %s",
+                                   exc)
+
+            table_thread = threading.Thread(target=_build_table,
+                                            daemon=True)
+            table_thread.start()
             threading.Thread(
                 target=_prefetch_pe_compile,
                 args=(ids, seqs, ksize, bsz, args.fwd, logger),
+                kwargs=dict(table_thread=table_thread,
+                            table_box=table_box),
                 daemon=True).start()
             reads = load_read_pairs(args.fwd, args.rve, ksize + 1,
                                     pad_to_multiple=32)
             logger.info("reads: used=%d, with_N=%d, short=%d",
                         reads.used_reads, reads.n_reads, reads.short_reads)
+            table_thread.join()
             pe_result = infer_pe_links(
                 ids, seqs, reads, ksize,
                 batch_size=getattr(args, "pe_batch_size", 16384),
+                table=table_box.get("table"),
                 logger=logger)
             # aln file format: the reference's N^2-line files degenerate
             # to their nonzero lines on load (docs/DIVERGENCES.md #17),
