@@ -133,11 +133,20 @@ _STATS_PALLAS_COL_CHUNK = 128
 
 def stats_accum_pallas_fits(C: int, num_nodes: int) -> bool:
     """Any slot count fits (the kernel sweeps C in 128-column grid
-    steps); N caps at the dense driver's cutover (N ~ 3.8k at the
-    default batch — set by the N^2 accumulators around the stats, not
-    by this kernel, which was measured correct and ~360 ms/batch at
-    N=5000). Beyond it the sparse row-sort path takes over."""
-    return num_nodes <= _STATS_PALLAS_MAX_NODES
+    steps); N is bounded by Mosaic's scoped-vmem stack. The stack has
+    two terms (fit to observed sizes on v5e — 17.77M at blk=256/
+    Np=1024/CW=128 and 21.20M at blk=64/Np=2048/CW=128): ~37 B per
+    (blk, Np) accumulator element plus ~64 B per (CW, Np) temporary
+    element of the unrolled column loop. CW cannot shrink below 128
+    (TPU lane-dimension constraint), so at the minimum blk=8 the
+    kernel fits only while (296 + 8192) * Np <= 12M, i.e.
+    Np <= 1408 — beyond that the compile itself OOMs (caught live by
+    tools/cutover_sweep.py at N=2000 in round 5; the old check
+    approved up to N=4096). The driver routes larger graphs to the
+    sparse row-sort engine instead."""
+    n_pad = -(-(num_nodes + 1) // 128) * 128
+    return ((296 + 8192) * n_pad <= 12 * 1024 * 1024
+            and num_nodes <= _STATS_PALLAS_MAX_NODES)
 
 
 @partial(jax.jit, static_argnames=("depth", "num_nodes", "block",
@@ -171,12 +180,27 @@ def stats_accum_pallas(node_t, depth: int, num_nodes: int,
     blk = min(block, R)
     while R % blk:
         blk //= 2
-    # Mosaic's scoped-vmem stack for the unrolled compare loop measures
-    # ~17 live (blk, Np) int32 buffers (observed 17.77M at blk=256,
-    # Np=1024 on v5e against a 16M limit); keep the model's estimate
-    # under 14M so the accumulators + temporaries always fit.
-    while blk > 8 and 68 * blk * Np > 14 * 1024 * 1024:
+    # Mosaic's scoped-vmem stack for the unrolled compare loop has TWO
+    # terms (fit to observed stack sizes on v5e: 17.77M at blk=256/
+    # Np=1024/CW=128 and 21.20M at blk=64/Np=2048/CW=128): ~37 bytes
+    # per (blk, Np) accumulator element plus ~64 bytes per (CW, Np)
+    # temporary element from the unrolled column loop. The old
+    # single-term model ignored the CW term, so any Np >= 2048 kernel
+    # compiled over the 16M limit REGARDLESS of blk — a hard
+    # compile-time OOM for dense TPU runs at N in [~1100, 3800]
+    # (caught by tools/cutover_sweep.py in round 5). Shrink CW first
+    # (its term dominates at large Np), then blk, keeping the estimate
+    # under 12M.
+    def _scoped(b):
+        return 37 * b * Np + 64 * CW * Np
+
+    while blk > 8 and _scoped(blk) > 12 * 1024 * 1024:
         blk //= 2
+    # interpret mode (CPU tests) has no VMEM; only real Mosaic
+    # lowering must be gated on stats_accum_pallas_fits
+    assert interpret or _scoped(blk) <= 12 * 1024 * 1024, (
+        f"stats_accum_pallas cannot fit Np={Np} in scoped VMEM; "
+        "callers must gate on stats_accum_pallas_fits")
     grid = (R // blk, Cp // CW)
     kernel = partial(_stats_accum_kernel, CW=CW, depth=depth, Np=Np,
                      inf=inf)

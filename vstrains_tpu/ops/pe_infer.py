@@ -2311,18 +2311,31 @@ def infer_pe_links(ids: Sequence[str], seqs: Sequence[str],
     budget_rows = max(512, (1_500_000_000 // (12 * (N + 1))) // 2)
     sparse = (stats_mode == "sparse"
               or (stats_mode == "auto" and batch_size > budget_rows))
-    # Backend-aware early cutover: the MXU makes the B*N^2 pair matmuls
-    # nearly free on TPU, but on the CPU backend they dominate from
-    # ~1.5k nodes (measured: N=1740 at 385k pairs ran ~50-100 s/batch
-    # dense — the matmuls are ~5e10 int MACs per batch — vs seconds
-    # sparse). Large non-tiny CPU runs route to the sparse COO engine;
-    # results are bit-identical either way (tests/test_pe_infer.py).
-    if (stats_mode == "auto" and not sparse and N > 1024
-            and reads.num_pairs > 65536
-            and jax.default_backend() == "cpu"):
-        sparse = True
-        logger.info("cpu backend at N=%d: sparse COO engine "
-                    "(dense pair matmuls are MXU-shaped work)", N)
+    # Backend-aware early cutover (results are bit-identical either
+    # way — tests/test_pe_infer.py):
+    #   * CPU: the B*N^2 pair matmuls are MXU-shaped work and dominate
+    #     from ~1.5k nodes (measured: N=1740 at 385k pairs ran
+    #     ~50-100 s/batch dense vs seconds sparse);
+    #   * accelerators: above the Pallas stats accumulator's scoped-
+    #     VMEM bound (Np > 1408 — pallas_kernels.stats_accum_pallas_
+    #     fits) the dense path would fall back to XLA scatters, which
+    #     serialize on TPU (measured 1.5 s/batch at N=992), while the
+    #     two-phase sparse engine streams at device rate.
+    if (stats_mode == "auto" and not sparse
+            and reads.num_pairs > 65536):
+        backend = jax.default_backend()
+        if backend == "cpu" and N > 1024:
+            sparse = True
+            logger.info("cpu backend at N=%d: sparse COO engine "
+                        "(dense pair matmuls are MXU-shaped work)", N)
+        elif backend != "cpu" and N > _ONEHOT_STATS_MAX_NODES:
+            from vstrains_tpu.ops.pallas_kernels import \
+                stats_accum_pallas_fits
+            if not stats_accum_pallas_fits(0, N):
+                sparse = True
+                logger.info("N=%d exceeds the Pallas stats VMEM bound:"
+                            " sparse COO engine (dense would fall to "
+                            "serialized scatters)", N)
     # don't pad small datasets up to a huge batch (wasted compute and a
     # needless giant-shape compile)
     if reads.num_pairs and batch_size > reads.num_pairs:
