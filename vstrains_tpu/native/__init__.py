@@ -77,6 +77,111 @@ def get_lib() -> Optional[ctypes.CDLL]:
     return _LIB
 
 
+_TBL_SO_PATH = os.path.join(_DIR, "libtable.so")
+_TBL_LIB = None
+_TBL_TRIED = False
+
+
+def _build_table_lib() -> bool:
+    src = os.path.join(_DIR, "table_build.cpp")
+    if not os.path.exists(src):
+        return False
+    if (os.path.exists(_TBL_SO_PATH)
+            and os.path.getmtime(_TBL_SO_PATH) >= os.path.getmtime(src)):
+        return True
+    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
+           "-o", _TBL_SO_PATH, src]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except Exception as e:
+        _LOG.debug("native table lib build failed: %s", e)
+        return False
+
+
+def get_table_lib() -> Optional[ctypes.CDLL]:
+    global _TBL_LIB, _TBL_TRIED
+    if _TBL_TRIED:
+        return _TBL_LIB
+    _TBL_TRIED = True
+    try:
+        if not _build_table_lib():
+            return None
+        lib = ctypes.CDLL(_TBL_SO_PATH)
+        lib.tb_build.restype = ctypes.c_int64
+        lib.tb_build.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),   # ascii
+            ctypes.POINTER(ctypes.c_int64),   # starts
+            ctypes.POINTER(ctypes.c_int32),   # lens
+            ctypes.POINTER(ctypes.c_int32),   # ids
+            ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint32),  # h1 out
+            ctypes.POINTER(ctypes.c_uint32),  # h2 out
+            ctypes.POINTER(ctypes.c_int32),   # node out
+            ctypes.POINTER(ctypes.c_int32),   # offset out
+            ctypes.c_int64,                   # cap
+            ctypes.POINTER(ctypes.c_int64)]   # max_dup out
+        _TBL_LIB = lib
+    except Exception as e:
+        _LOG.debug("native table lib unavailable: %s", e)
+        _TBL_LIB = None
+    return _TBL_LIB
+
+
+def build_table_entries_native(seqs, split_len: int):
+    """C++ fast path of the hash+sort phases of build_kmer_table.
+
+    Returns (h1, h2, node, offset, max_dup) — sorted exactly as the numpy
+    path sorts (lexicographic (packed key, node, offset)) — or None when
+    the native library is unavailable or no node is long enough (the
+    caller's numpy path handles the trivial case)."""
+    import numpy as np
+
+    lib = get_table_lib()
+    if lib is None:
+        return None
+    parts = []
+    ids = []
+    lens = []
+    for i, s in enumerate(seqs):
+        n = len(s)
+        if n < split_len:
+            continue
+        parts.append(s.encode("ascii") if isinstance(s, str) else bytes(s))
+        ids.append(i)
+        lens.append(n)
+    if not ids:
+        return None
+    cat = b"".join(parts)
+    lens_a = np.asarray(lens, np.int32)
+    ids_a = np.asarray(ids, np.int32)
+    starts = np.zeros(len(ids), np.int64)
+    np.cumsum(lens_a[:-1], out=starts[1:])
+    cap = int(2 * (lens_a.astype(np.int64) - split_len + 1).sum())
+    h1 = np.empty(cap, np.uint32)
+    h2 = np.empty(cap, np.uint32)
+    node = np.empty(cap, np.int32)
+    offset = np.empty(cap, np.int32)
+    max_dup = ctypes.c_int64(0)
+    cat_a = np.frombuffer(cat, dtype=np.uint8)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    nthreads = min(8, os.cpu_count() or 4)
+    m = lib.tb_build(
+        cat_a.ctypes.data_as(u8p), starts.ctypes.data_as(i64p),
+        lens_a.ctypes.data_as(i32p), ids_a.ctypes.data_as(i32p),
+        len(ids), split_len, nthreads,
+        h1.ctypes.data_as(u32p), h2.ctypes.data_as(u32p),
+        node.ctypes.data_as(i32p), offset.ctypes.data_as(i32p),
+        cap, ctypes.byref(max_dup))
+    if m < 0:
+        return None
+    return (h1[:m], h2[:m], node[:m], offset[:m],
+            int(max_dup.value) if m else 1)
+
+
 def load_read_pairs_native(fwd_path: str, rve_path: str, split_len: int,
                            pad_to_multiple: int = 1):
     """C++ fast path of core.fastq.load_read_pairs; returns None if the

@@ -157,6 +157,80 @@ def _bucket_size(n: int) -> int:
 _PARALLEL_SORT_MIN = 1 << 20  # entries; below this the serial sort wins
 
 
+def _finish_kmer_table(h1, h2, node, offset, max_dup, num_nodes,
+                       split_len, seq_lens, pad_to_bucket, bucket_index):
+    """Common tail of build_kmer_table: bias/bitcast the sorted entry
+    arrays, pad to the shape bucket, and (optionally) build the
+    direct-address bucket index."""
+    h1b = (h1 ^ _BIAS).view(np.int32)
+    h2b = h2.view(np.int32)
+    if pad_to_bucket and h1.size:
+        m_pad = _bucket_size(h1.size)
+        pad = m_pad - h1.size
+        if pad:
+            h1b = np.concatenate([h1b, np.full(pad, _INF, np.int32)])
+            h2b = np.concatenate([h2b, np.full(pad, -1, np.int32)])
+            node = np.concatenate([node, np.zeros(pad, np.int32)])
+            offset = np.concatenate([offset, np.zeros(pad, np.int32)])
+
+    # direct-address bucket index over the REAL entries (sentinel padding
+    # excluded so it cannot inflate the scan depth). Only the explicit
+    # 'lookup' probe reads it; with bucket_index='auto' a metaSPAdes-
+    # scale table that the default sortfill probe will serve skips the
+    # ~1.7 s bincount/cumsum build (bucket_starts=None -> the classic
+    # fallback uses the sort-join, results unchanged).
+    if bucket_index == "auto":
+        bucket_index = not (h1.size >= _SORTFILL_STRIDE_MIN_TABLE
+                            and _sortfill_node_bits(num_nodes) is not None
+                            and 1 <= max_dup <= _SORTFILL_MAX_DUP)
+    if not bucket_index:
+        return KmerTable(
+            bucket_starts=None,
+            bucket_shift=32,
+            scan_depth=max(max_dup, 1),
+            h1_biased=h1b,
+            h2=h2b,
+            node=node,
+            offset=offset,
+            max_dup=max_dup,
+            num_nodes=num_nodes,
+            split_len=split_len,
+            seq_lens=seq_lens,
+            num_entries=int(h1.size),
+        )
+    if h1.size:
+        bits = max(10, min(26, int(np.ceil(np.log2(2 * h1.size)))))
+        shift = 32 - bits
+        buckets = (h1 >> np.uint32(shift)).astype(np.int64)
+        # starts[x] = #entries with bucket < x — a bincount prefix sum
+        # (a searchsorted over the 2^bits arange cost ~15s at 29M entries)
+        counts = np.bincount(buckets, minlength=(1 << bits))
+        starts = np.empty((1 << bits) + 1, dtype=np.int64)
+        starts[0] = 0
+        np.cumsum(counts, out=starts[1:])
+        starts = starts.astype(np.int32)
+        scan_depth = int(counts.max())
+    else:
+        shift = 32
+        starts = np.zeros(2, np.int32)
+        scan_depth = 1
+
+    return KmerTable(
+        bucket_starts=starts,
+        bucket_shift=shift,
+        scan_depth=max(scan_depth, 1),
+        h1_biased=h1b,
+        h2=h2b,
+        node=node,
+        offset=offset,
+        max_dup=max_dup,
+        num_nodes=num_nodes,
+        split_len=split_len,
+        seq_lens=seq_lens,
+        num_entries=int(h1.size),
+    )
+
+
 def build_kmer_table(seqs: Sequence[str], split_len: int,
                      pad_to_bucket: bool = True,
                      sp: Optional[tuple] = None,
@@ -180,6 +254,20 @@ def build_kmer_table(seqs: Sequence[str], split_len: int,
     nodes: List[np.ndarray] = []
     offsets: List[np.ndarray] = []
     seq_lens = np.array([len(s) for s in seqs], dtype=np.int32)
+
+    # C++ fast path (hash both strands + sort): bit-identical to the
+    # numpy path below (tests/test_table_native.py A/Bs every field);
+    # ~3.7 s -> ~0.4 s at metaSPAdes scale. The numpy path remains for
+    # SP-sharded builds, the no-toolchain fallback, and as the oracle.
+    if sp is None and os.environ.get("VSTRAINS_NATIVE_TABLE", "1") != "0":
+        from vstrains_tpu import native as _native
+        nat = _native.build_table_entries_native(seqs, split_len)
+        if nat is not None:
+            n_h1, n_h2, n_node, n_off, n_max_dup = nat
+            return _finish_kmer_table(n_h1, n_h2, n_node, n_off,
+                                      n_max_dup, len(seqs), split_len,
+                                      seq_lens, pad_to_bucket,
+                                      bucket_index)
 
     # Long nodes hash individually (optionally SP-sharded over the mesh);
     # everything else batches into ONE sentinel-separated concatenation
@@ -370,73 +458,9 @@ def build_kmer_table(seqs: Sequence[str], split_len: int,
     else:
         max_dup = 1
 
-    h1b = (h1 ^ _BIAS).view(np.int32)
-    h2b = h2.view(np.int32)
-    if pad_to_bucket and h1.size:
-        m_pad = _bucket_size(h1.size)
-        pad = m_pad - h1.size
-        if pad:
-            h1b = np.concatenate([h1b, np.full(pad, _INF, np.int32)])
-            h2b = np.concatenate([h2b, np.full(pad, -1, np.int32)])
-            node = np.concatenate([node, np.zeros(pad, np.int32)])
-            offset = np.concatenate([offset, np.zeros(pad, np.int32)])
-
-    # direct-address bucket index over the REAL entries (sentinel padding
-    # excluded so it cannot inflate the scan depth). Only the explicit
-    # 'lookup' probe reads it; with bucket_index='auto' a metaSPAdes-
-    # scale table that the default sortfill probe will serve skips the
-    # ~1.7 s bincount/cumsum build (bucket_starts=None -> the classic
-    # fallback uses the sort-join, results unchanged).
-    if bucket_index == "auto":
-        bucket_index = not (h1.size >= _SORTFILL_STRIDE_MIN_TABLE
-                            and _sortfill_node_bits(len(seqs)) is not None
-                            and 1 <= max_dup <= _SORTFILL_MAX_DUP)
-    if not bucket_index:
-        return KmerTable(
-            bucket_starts=None,
-            bucket_shift=32,
-            scan_depth=max(max_dup, 1),
-            h1_biased=h1b,
-            h2=h2b,
-            node=node,
-            offset=offset,
-            max_dup=max_dup,
-            num_nodes=len(seqs),
-            split_len=split_len,
-            seq_lens=seq_lens,
-            num_entries=int(h1.size),
-        )
-    if h1.size:
-        bits = max(10, min(26, int(np.ceil(np.log2(2 * h1.size)))))
-        shift = 32 - bits
-        buckets = (h1 >> np.uint32(shift)).astype(np.int64)
-        # starts[x] = #entries with bucket < x — a bincount prefix sum
-        # (a searchsorted over the 2^bits arange cost ~15s at 29M entries)
-        counts = np.bincount(buckets, minlength=(1 << bits))
-        starts = np.empty((1 << bits) + 1, dtype=np.int64)
-        starts[0] = 0
-        np.cumsum(counts, out=starts[1:])
-        starts = starts.astype(np.int32)
-        scan_depth = int(counts.max())
-    else:
-        shift = 32
-        starts = np.zeros(2, np.int32)
-        scan_depth = 1
-
-    return KmerTable(
-        bucket_starts=starts,
-        bucket_shift=shift,
-        scan_depth=max(scan_depth, 1),
-        h1_biased=h1b,
-        h2=h2b,
-        node=node,
-        offset=offset,
-        max_dup=max_dup,
-        num_nodes=len(seqs),
-        split_len=split_len,
-        seq_lens=seq_lens,
-        num_entries=int(h1.size),
-    )
+    return _finish_kmer_table(h1, h2, node, offset, max_dup, len(seqs),
+                              split_len, seq_lens, pad_to_bucket,
+                              bucket_index)
 
 
 # --------------------------------------------------------------------------
